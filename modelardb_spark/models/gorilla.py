@@ -1,0 +1,96 @@
+"""Gorilla XOR float32 compression (lossless).
+
+Wire-compatible with the reference's value compressor
+(core/models/FacebookGorillaModelType.java, based on the public
+gorilla-tsc layout): one '0' bit for repeats; '10' + significant bits
+reusing the previous leading/trailing-zero window; '11' + 5-bit leading
+zeros + 6-bit significant-bit count + bits for a new window. Decoder
+keeps the `significantBits == 0 -> 32` quirk (reference :204-206) and
+the `leadingZeros >= 32 -> 31` encoder clamp (reference :101-103).
+
+The reference never compresses timestamps — they are implicit from
+(start, end, interval) after gap-fill — so delta-of-delta timestamp
+compression is unnecessary here by the same design; Gorilla covers the
+lossless value path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from modelardb_spark.models.bitbuffer import BitReader, BitWriter
+
+
+def _nlz32(x: int) -> int:
+    """Number of leading zeros of a 32-bit value."""
+    return 32 - int(x).bit_length()
+
+
+def _ntz32(x: int) -> int:
+    """Number of trailing zeros of a 32-bit value (32 for 0)."""
+    if x == 0:
+        return 32
+    return (x & -x).bit_length() - 1
+
+
+def gorilla_compress(values: np.ndarray) -> bytes:
+    """Compress a float32 array to the gorilla bitstream."""
+    bits = np.ascontiguousarray(values, dtype=np.float32).view(np.uint32)
+    w = BitWriter()
+    last = int(bits[0])
+    w.write_bits(last, 32)
+    stored_leading = 0xFFFF  # sentinel: no window yet (Integer.MAX_VALUE)
+    stored_trailing = 0
+    for cur in bits[1:]:
+        cur = int(cur)
+        xor = cur ^ last
+        if xor == 0:
+            w.write_bit(0)
+        else:
+            leading = _nlz32(xor)
+            trailing = _ntz32(xor)
+            if leading >= 32:
+                leading = 31
+            w.write_bit(1)
+            if leading >= stored_leading and trailing >= stored_trailing:
+                w.write_bit(0)
+                significant = 32 - stored_leading - stored_trailing
+                w.write_bits(xor >> stored_trailing, significant)
+            else:
+                w.write_bit(1)
+                w.write_bits(leading, 5)
+                significant = 32 - leading - trailing
+                w.write_bits(significant, 6)
+                w.write_bits(xor >> trailing, significant)
+                stored_leading = leading
+                stored_trailing = trailing
+        last = cur
+    return w.to_bytes()
+
+
+def gorilla_decompress(model: bytes, length: int) -> np.ndarray:
+    """Decompress `length` float32 values from the bitstream."""
+    out = np.empty(length, dtype=np.uint32)
+    r = BitReader(model)
+    stored_leading = 0xFFFF
+    stored_trailing = 0
+    last = r.read_bits(32)
+    out[0] = last
+    for i in range(1, length):
+        if r.read_bit():
+            if r.read_bit():
+                stored_leading = r.read_bits(5)
+                significant = r.read_bits(6)
+                if significant == 0:
+                    significant = 32
+                stored_trailing = 32 - significant - stored_leading
+            value = r.read_bits(32 - stored_leading - stored_trailing)
+            value <<= stored_trailing
+            last = (last ^ value) & 0xFFFFFFFF
+        out[i] = last
+    return out.view(np.float32)
+
+
+def gorilla_size_bytes(values: np.ndarray) -> int:
+    """Size in bytes of the compressed stream (for ratio selection)."""
+    return len(gorilla_compress(values))
