@@ -1,0 +1,145 @@
+"""Resumable ingest pipeline: transcripts -> segments -> rollup tiers.
+
+Run via spark-submit (north rule):
+
+    spark-submit --py-files modelardb_spark.zip -m modelardb_spark.jobs.ingest \
+        --events /root/testdata/sf0.1/events.parquet --out /tmp/mdb
+
+Resume design: the unit of work is the UTC day (= the segment salt, so
+segments and all rollup windows are self-contained per day). Days are
+processed in chunks; each completed chunk dynamically overwrites
+exactly its partition directories and records one checkpoint row per
+day with lineage (input snapshot id) and metrics (rows in/out, wall
+ms). A killed job re-runs only days without a `done` checkpoint for
+the same snapshot, and because writes are per-partition overwrites the
+final tables are identical to a single uninterrupted run (test:
+tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.io.checkpoints import CheckpointStore
+from modelardb_spark.io.tables import DAY_MS, TableCatalog, with_part_key
+from modelardb_spark.operators.fit import fit_segments
+from modelardb_spark.operators.rollup import (
+    HOUR_MS,
+    MINUTE_MS,
+    rollup_cascade,
+    rollup_from_segments,
+)
+from modelardb_spark.operators.series import derive_series
+
+
+def _day_of_ts(col):
+    return (F.unix_millis(F.col(col).cast("timestamp")) / DAY_MS).cast("long")
+
+
+def ingest(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    cfg: EngineConfig = EngineConfig(),
+    snapshot_id: str = "snap-0",
+    chunk_days: int = 64,
+    fail_after_chunks: int | None = None,
+) -> dict:
+    """Run the pipeline; returns metrics. `fail_after_chunks` injects a
+    crash after N chunks (resume tests only)."""
+    catalog = TableCatalog(out_root)
+    ckpt = CheckpointStore(out_root)
+
+    days = [
+        r[0]
+        for r in transcripts.select(_day_of_ts("ts").alias("d")).distinct().collect()
+    ]
+    done = ckpt.done_partitions("segments", snapshot_id)
+    todo = sorted(d for d in days if str(d) not in done)
+    metrics = {"days_total": len(days), "days_skipped": len(days) - len(todo)}
+
+    chunks = [todo[i : i + chunk_days] for i in range(0, len(todo), chunk_days)]
+    rows_out_total = 0
+    for ci, chunk in enumerate(chunks):
+        if fail_after_chunks is not None and ci >= fail_after_chunks:
+            raise RuntimeError("injected failure for resume test")
+        t0 = time.time()
+        part = transcripts.where(_day_of_ts("ts").isin([int(d) for d in chunk]))
+        series = derive_series(part, cfg)
+        segments = with_part_key(fit_segments(series, cfg), cfg.conv_buckets)
+        segments = segments.persist()
+        seg_rows = segments.count()
+        catalog.overwrite_partitions(segments, "segments", ["part_day"])
+
+        r1m = rollup_from_segments(segments, MINUTE_MS)
+        r1m = r1m.withColumn("part_day", (F.col("window_ms") / DAY_MS).cast("long")).persist()
+        catalog.overwrite_partitions(r1m, "rollup_1m", ["part_day"])
+        r1h = rollup_cascade(r1m, HOUR_MS).withColumn(
+            "part_day", (F.col("window_ms") / DAY_MS).cast("long")
+        ).persist()
+        catalog.overwrite_partitions(r1h, "rollup_1h", ["part_day"])
+        r1d = rollup_cascade(r1h, DAY_MS).withColumn(
+            "part_day", (F.col("window_ms") / DAY_MS).cast("long")
+        )
+        catalog.overwrite_partitions(r1d, "rollup_1d", ["part_day"])
+
+        wall_ms = int((time.time() - t0) * 1000)
+        per_day = segments.groupBy("part_day").agg(
+            F.count("*").alias("segs"), F.sum("seg_cnt").alias("points")
+        )
+        stats = {str(r["part_day"]): r for r in per_day.collect()}
+        for d in chunk:
+            r = stats.get(str(d))
+            ckpt.record(
+                "segments",
+                partition_id=str(d),
+                input_snapshot_id=snapshot_id,
+                rows_in=int(r["points"]) if r else 0,
+                rows_out=int(r["segs"]) if r else 0,
+                wall_ms=wall_ms // max(1, len(chunk)),
+            )
+        rows_out_total += seg_rows
+        segments.unpersist()
+        r1m.unpersist()
+        r1h.unpersist()
+
+    catalog.write_manifest(
+        "segments",
+        {
+            "snapshot_id": snapshot_id,
+            "error_bound": cfg.error_bound,
+            "length_bound": cfg.length_bound,
+            "interval_ms": cfg.interval_ms,
+        },
+    )
+    metrics["segments_written"] = rows_out_total
+    metrics["chunks"] = len(chunks)
+    return metrics
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", required=True, help="events parquet path")
+    ap.add_argument("--out", required=True, help="output catalog root")
+    ap.add_argument("--error-bound", type=float, default=0.0)
+    ap.add_argument("--snapshot-id", default="snap-0")
+    args = ap.parse_args()
+
+    from modelardb_spark.operators.transcripts import transcripts_from_events
+    from modelardb_spark.session import get_spark
+
+    spark = get_spark(app_name="modelardb-ingest")
+    sf_dir = args.events.rsplit("/", 1)[0]
+    transcripts = transcripts_from_events(spark, sf_dir)
+    cfg = EngineConfig(error_bound=args.error_bound)
+    print(ingest(spark, transcripts, args.out, cfg, snapshot_id=args.snapshot_id))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Pre-validates the driver's correctness gate: every queries() entry
+must match its oracle_sql() on DuckDB (row count, column names, and
+order-insensitive values), at sf0.001 for speed (the driver runs
+sf0.01)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for row in rows:
+        d = dict(zip(cols, row))
+        norm = []
+        for c in sorted(d):
+            v = d[c]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.10g}"
+            norm.append((c, v))
+        out.append(tuple(norm))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(spark, sf_small, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+
+    sdf = q(spark, sf_small)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_small)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    assert _normalize(spark_rows, spark_cols) == _normalize(duck_rows, duck_cols)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) >= 4

@@ -1,0 +1,106 @@
+"""Resume/retention tests — SURVEY.md §5 item 7: kill after partial
+completion; re-run must produce identical tables and skip done
+partitions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.io.checkpoints import CheckpointStore
+from modelardb_spark.io.tables import DAY_MS, TableCatalog
+from modelardb_spark.jobs.ingest import ingest
+from modelardb_spark.operators.retention import (
+    RetentionPolicy,
+    apply_retention,
+    tiered_rollup,
+)
+from modelardb_spark.operators.transcripts import synthetic_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    t = synthetic_transcripts(
+        spark, n_convs=8, turns_per_conv=300, mega_convs=1, mega_factor=4
+    ).cache()
+    t.count()
+    return t
+
+
+def _table_fingerprint(spark, root, name):
+    df = spark.read.parquet(os.path.join(root, name))
+    cols = sorted(c for c in df.columns if c != "part_bucket")
+    return (
+        df.select(*cols)
+        .withColumn("h", F.hash(*cols))
+        .agg(F.sum("h"), F.count("*"))
+        .first()
+    )
+
+
+def test_resume_after_injected_failure(spark, transcripts, tmp_path):
+    clean_root = str(tmp_path / "clean")
+    crash_root = str(tmp_path / "crash")
+    cfg = EngineConfig()
+
+    m = ingest(spark, transcripts, clean_root, cfg, snapshot_id="s1", chunk_days=2)
+    assert m["days_skipped"] == 0
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ingest(
+            spark, transcripts, crash_root, cfg, snapshot_id="s1",
+            chunk_days=2, fail_after_chunks=2,
+        )
+    # resume: done days are skipped, output identical to the clean run
+    m2 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1", chunk_days=2)
+    assert m2["days_skipped"] == 4  # 2 chunks x 2 days completed pre-crash
+
+    for name in ("segments", "rollup_1m", "rollup_1h", "rollup_1d"):
+        assert _table_fingerprint(spark, clean_root, name) == _table_fingerprint(
+            spark, crash_root, name
+        ), name
+
+    # idempotent third run: everything skipped
+    m3 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1", chunk_days=2)
+    assert m3["days_skipped"] == m3["days_total"]
+
+    # metrics/lineage rows exist per partition
+    ck = CheckpointStore(crash_root)
+    rows = ck.metrics("segments")
+    assert len(rows) == m3["days_total"]
+    assert all(r["status"] == "done" and r["input_snapshot_id"] == "s1" for r in rows)
+    assert all(r["rows_out"] > 0 for r in rows)
+
+
+def test_new_snapshot_recomputes(spark, transcripts, tmp_path):
+    root = str(tmp_path / "snap")
+    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="a", chunk_days=64)
+    m = ingest(spark, transcripts, root, EngineConfig(), snapshot_id="b", chunk_days=64)
+    assert m["days_skipped"] == 0  # lineage changed -> full recompute
+
+
+def test_retention_drops_cold_tiers(spark, transcripts, tmp_path):
+    root = str(tmp_path / "ret")
+    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="s", chunk_days=64)
+    catalog = TableCatalog(root)
+    days = sorted(int(d) for d in catalog.list_partitions("segments", "part_day"))
+    assert days
+    # "now" such that the oldest day is beyond hot retention but within warm
+    now_ms = (days[0] + 10) * DAY_MS
+    policy = RetentionPolicy(hot_days=3, warm_days=1000)
+    dropped = apply_retention(catalog, policy, now_ms)
+    assert dropped["segments"] >= 1
+    assert dropped.get("rollup_1m", 0) == 0
+    remaining = [int(d) for d in catalog.list_partitions("segments", "part_day")]
+    assert all(d >= days[0] + 10 - 3 for d in remaining)
+    # rollups still answer for the dropped range (downsampled tier)
+    tiers = tiered_rollup(spark, catalog, policy, now_ms)
+    old_windows = tiers.where(
+        (F.col("window_ms") < (days[0] + 1) * DAY_MS) & (F.col("tier") == "rollup_1d")
+    )
+    assert old_windows.count() > 0
+    # idempotent
+    assert apply_retention(catalog, policy, now_ms)["segments"] == 0
