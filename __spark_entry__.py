@@ -178,6 +178,91 @@ def _q_segment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.textstats import load_documents, token_count
+
+    return token_count(load_documents(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.textstats import load_documents, quality_score
+
+    return quality_score(load_documents(spark, sf_dir))
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.textstats import language_id, load_documents
+
+    return language_id(load_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.textstats import fingerprint, load_documents
+
+    return fingerprint(load_documents(spark, sf_dir))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.dedup import exact_duplicates
+    from modelardb_spark.operators.textstats import load_documents
+
+    return exact_duplicates(load_documents(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.dedup import ngram_jaccard_pairs
+    from modelardb_spark.operators.textstats import load_documents
+
+    return ngram_jaccard_pairs(load_documents(spark, sf_dir), threshold=0.35)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.dedup import minhash_lsh_pairs
+    from modelardb_spark.operators.textstats import load_documents
+
+    return minhash_lsh_pairs(load_documents(spark, sf_dir), jaccard_threshold=0.35)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.dedup import simhash_signatures
+    from modelardb_spark.operators.textstats import load_documents
+
+    return simhash_signatures(load_documents(spark, sf_dir))
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.similarity import cosine_topk, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.similarity import embedding_near_dup, load_embeddings
+
+    return embedding_near_dup(load_embeddings(spark, sf_dir), threshold=0.3)
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.similarity import load_embeddings, lsh_topk
+
+    return lsh_topk(load_embeddings(spark, sf_dir), k=5, bits=6)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from modelardb_spark.operators.multimodal import extract_features, synthetic_media
+    from modelardb_spark.operators.textstats import load_documents
+
+    feats = extract_features(synthetic_media(spark, load_documents(spark, sf_dir)))
+    return feats.select("media_id", "kind", "n_bytes", "sha_prefix")
+
+
 def _q_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain Spark SQL over the engine's rollup view — the reference
     delegates all joins/sorts/limits to the host engine (SURVEY.md
@@ -198,6 +283,194 @@ def _q_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle SQL builders for the training-data operators (generated from the
+# same constants as the Spark implementations to stay in sync)
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def _sql_marker_hits(words: list[str]) -> str:
+    terms = [
+        f"((length(padded) - length(replace(padded, ' {w} ', ''))) / {len(w) + 2})"
+        for w in words
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sql_language_id() -> str:
+    from modelardb_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n         ".join(
+        f"{_sql_marker_hits(LANG_MARKERS[l])} AS score_{l}" for l in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN score_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH padded_docs AS (
+  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM padded_docs
+), with_best AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN best = 0 THEN 'und' {case} END AS predicted_lang,
+       best AS marker_hits
+FROM with_best
+"""
+
+
+def _sql_quality() -> str:
+    from modelardb_spark.operators.textstats import _STOPWORDS
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         length(text) - length(replace(text, ' ', '')) AS spaces
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, spaces,
+         CAST(spaces + 1 AS DOUBLE) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) AS punct,
+         CAST({_sql_marker_hits(_STOPWORDS)} AS DOUBLE) AS stop_hits
+  FROM q
+), m AS (
+  SELECT doc_id,
+         (n_chars - spaces) / n_tokens AS avg_word_len,
+         punct / n_chars AS punct_ratio,
+         stop_hits / n_tokens AS stop_ratio,
+         LEAST(n_tokens / 100.0, 1.0) AS length_factor
+  FROM s
+)
+SELECT doc_id,
+       round(avg_word_len, 6) AS avg_word_len,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.4 * length_factor
+             + 0.3 * (CASE WHEN avg_word_len >= 2.0 AND avg_word_len <= 12.0
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * LEAST(stop_ratio * 5.0, 1.0)
+             + 0.1 * (1.0 - LEAST(punct_ratio * 10.0, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+_SQL_SHINGLES = f"""
+norm_docs AS (
+  SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM norm_docs
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[g.i + 1 : g.i + 3], ' ') AS shingle
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(0, len(toks) - 3)) AS i
+  ) g
+  WHERE len(toks) >= 3
+)
+"""
+
+
+def _sql_jaccard_tail(threshold: float, candidates: str) -> str:
+    return f"""
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  {candidates}
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+)
+WHERE jaccard >= {threshold}
+"""
+
+
+def _sql_minhash() -> str:
+    from modelardb_spark.operators.dedup import BANDS, ROWS_PER_BAND
+
+    k = BANDS * ROWS_PER_BAND
+    mins = ", ".join(
+        f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(k)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM mins".format(
+            b=b,
+            cols=", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return (
+        "WITH "
+        + _SQL_SHINGLES
+        + f""",
+mins AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+), bands AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+"""
+        + _sql_jaccard_tail(
+            0.35,
+            "JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id",
+        )
+    )
+
+
+_SQL_SIMHASH = (
+    "WITH "
+    + f"""
+norm_docs AS (
+  SELECT doc_id, {_SQL_NORM} AS norm FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm_docs
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 25, 8))::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, g.bit,
+         SUM(CASE WHEN (h >> g.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS bit) g
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY 1
+"""
+)
+
+_SQL_EMB_BASE = """
+base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+"""
+
+_SQL_COSINE = (
+    "round(list_sum(list_transform(list_zip(q.embedding, n.embedding),"
+    " t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) / (q.norm * n.norm), 6)"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full pipeline to the
     1h rollup tier."""
@@ -215,6 +488,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_points_grid": _q_data_points,
         "segment_aggregates": _q_segment_aggregates,
         "busiest_hours": _q_busiest_hours,
+        # training-data pipeline operators
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "language_id": _q_language_id,
+        "doc_fingerprint": _q_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "simhash_signatures": _q_simhash,
+        "embedding_topk": _q_embedding_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_topk": _q_lsh_topk,  # approximate ANN: rows-only check
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -283,4 +569,70 @@ ORDER BY turns DESC, window_ms
 LIMIT 20
 """
         ),
+        "token_count": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+       CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT) AS n_subword_est,
+       length(text) AS n_chars
+FROM documents
+""",
+        "text_quality": _sql_quality(),
+        "language_id": _sql_language_id(),
+        "doc_fingerprint": f"""
+SELECT doc_id, md5(norm) AS fingerprint, length(norm) AS norm_len
+FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+""",
+        "dedup_exact": f"""
+WITH fp AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fingerprint FROM documents
+), g AS (
+  SELECT fingerprint, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+  FROM fp GROUP BY 1
+)
+SELECT f.doc_id, g.canonical_doc_id, g.group_size
+FROM fp f JOIN g USING (fingerprint)
+""",
+        "dedup_ngram_jaccard": (
+            "WITH " + _SQL_SHINGLES + "," + _sql_jaccard_tail(0.35, "")
+        ),
+        "dedup_minhash_lsh": _sql_minhash(),
+        "simhash_signatures": _SQL_SIMHASH,
+        "embedding_topk": (
+            "WITH "
+            + _SQL_EMB_BASE
+            + f""",
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         {_SQL_COSINE} AS cosine
+  FROM base q JOIN base n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
+"""
+        ),
+        "embedding_near_dup": (
+            "WITH "
+            + _SQL_EMB_BASE
+            + f"""
+SELECT * FROM (
+  SELECT q.vec_id AS vec_a, n.vec_id AS vec_b, {_SQL_COSINE} AS cosine
+  FROM base q JOIN base n ON q.vec_id < n.vec_id
+) WHERE cosine >= 0.3
+"""
+        ),
+        "multimodal_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents
+""",
+        # lsh_topk intentionally has no oracle: approximate ANN result
+        # (bucket-local ranking) is not SQL-reproducible without
+        # replicating the hyperplane fold; driver records rows-only.
     }

@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — over the `documents` table.
+
+Scale design notes (the part that matters at 100 TB):
+- exact dedup is a single hash-aggregate on a fingerprint column —
+  no text comparison ever crosses the shuffle, only 16-byte digests;
+- MinHash+LSH is the real sublinear path: shingle -> K minhashes ->
+  B bands -> self-join on (band, band_hash). The candidate join key is
+  the band hash, so the shuffle volume is O(docs x B), not O(docs^2);
+  skew on hot bands is handled by AQE skew-join. The final Jaccard
+  verification runs only on candidate pairs;
+- SimHash reduces each doc to one 32-bit signature; near-dup pairs are
+  found by banding the signature (two 16-bit halves: Hamming distance
+  <= 1 guarantees one identical half — pigeonhole), again a key join;
+- brute-force n-gram Jaccard is kept as the small-data oracle path.
+
+Everything uses md5-based hashing (engine-portable) so the DuckDB
+oracle computes bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: MinHash parameters: K = BANDS * ROWS_PER_BAND hash functions
+BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE_WORDS = 3
+
+
+def normalized(docs: DataFrame) -> DataFrame:
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", norm.alias("norm"))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content fingerprint: every doc mapped to the
+    canonical (minimum) doc_id of its group, plus the group size."""
+    fp = normalized(docs).select("doc_id", F.md5("norm").alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .select("doc_id", "canonical_doc_id", "group_size")
+    )
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct k-word shingles per document (positional slide over the
+    whitespace token array, JVM-side)."""
+    toks = normalized(docs).select(
+        "doc_id", F.split("norm", " ").alias("toks")
+    )
+    # guard: Spark's sequence(0, n) descends when n < 0, so short docs
+    # (fewer than k tokens) must be filtered, matching SQL generate_series
+    toks = toks.where(F.size("toks") >= k)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", i + 1, k)
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def minhash_signatures(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, band_hash): md5-based minhash signature folded
+    into one hash per band."""
+    sh = shingles(docs)
+    k = bands * rows
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs from LSH banding, verified with exact Jaccard
+    over the shingle sets. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard >= threshold, rounded for portability."""
+    sig = minhash_signatures(docs)
+    cand = (
+        sig.alias("x")
+        .join(sig.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+    return out
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Brute-force pairwise Jaccard over shingle sets (the exact
+    baseline the LSH path approximates; quadratic — small inputs or
+    verification only)."""
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash from token md5s: bit j of the signature is the
+    sign of the sum over tokens of (+1 if bit j of md5(token) else -1).
+    Pure column algebra (explode tokens x bits), portable to SQL."""
+    toks = normalized(docs).select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("tok")
+    )
+    # low 8 hex chars of md5 -> 32-bit integer
+    h = F.conv(F.substring(F.md5("tok"), 25, 8), 16, 10).cast("long")
+    votes = (
+        toks.select("doc_id", h.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, found by
+    half-signature banding (pigeonhole: d<=1 implies one equal half)."""
+    sig = simhash_signatures(docs)
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash") % 65536).alias("key")),
+                F.struct(
+                    F.lit(1).alias("part"),
+                    F.shiftright("simhash", 16).alias("key"),
+                ),
+            )
+        ).alias("hb"),
+    ).select("doc_id", "simhash", F.col("hb.part").alias("part"), F.col("hb.key").alias("key"))
+    cand = (
+        halves.alias("a")
+        .join(halves.alias("b"), ["part", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

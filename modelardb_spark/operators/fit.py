@@ -24,7 +24,7 @@ Scale design:
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import struct
 
 import numpy as np
 import pandas as pd
@@ -68,53 +68,108 @@ SEGMENT_SCHEMA = StructType(
 )
 
 
+_COLS = [f.name for f in SEGMENT_SCHEMA.fields]
+
+
 def _fit_group(
     error_bound: float, length_bound: int, interval_ms: int
 ):
+    from modelardb_spark.models.cascade import MTID_GORILLA
+
     def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         conv_id, metric = key[0], key[1]
         order = np.argsort(pdf["bin_ms"].to_numpy(), kind="stable")
         ts = pdf["bin_ms"].to_numpy()[order].astype(np.int64)
         vals = pdf["value"].to_numpy()[order].astype(np.float32)
-        # drop NaN bins (explicit gap markers) and dedupe identical bins
+        # drop NaN bins (explicit gap markers)
         keep = ~np.isnan(vals)
         ts, vals = ts[keep], vals[keep]
-        rows: list[tuple] = []
+        out: dict[str, list] = {c: [] for c in _COLS}
+
+        def emit(start, end, mtid, model, n, cnt, lo, hi, total, p0, p1):
+            out["conv_id"].append(conv_id)
+            out["metric"].append(metric)
+            out["start_ms"].append(start)
+            out["end_ms"].append(end)
+            out["interval_ms"].append(interval_ms)
+            out["mtid"].append(mtid)
+            out["model"].append(model)
+            out["n"].append(n)
+            out["seg_cnt"].append(cnt)
+            out["seg_min"].append(np.float32(lo))
+            out["seg_max"].append(np.float32(hi))
+            out["seg_sum"].append(total)
+            out["p0"].append(p0)
+            out["p1"].append(p1)
+
         if ts.size:
             # split into gap-free runs: jump > interval starts a new run
             # (SegmentGenerator.java:131-148 gap semantics)
             cuts = np.flatnonzero(np.diff(ts) > interval_ms) + 1
-            for run_t, run_v in zip(np.split(ts, cuts), np.split(vals, cuts)):
-                for seg in fit_run(run_t, run_v, error_bound, length_bound):
-                    cnt, lo, hi, total = segment_agg(
-                        seg.mtid, seg.model, seg.start_ms, seg.end_ms, interval_ms
+            run_bounds = np.concatenate(([0], cuts, [ts.size]))
+
+            # fast path 1: single-point runs. The reference fold on a
+            # 1-point buffer always selects Gorilla (Swing's NaN ratio
+            # shadows PMC, then Gorilla wins the tie) and the Gorilla
+            # stream of one value is its raw 4 bytes big-endian — emit
+            # vectorized without entering the cascade.
+            lens = np.diff(run_bounds)
+            single = run_bounds[:-1][lens == 1]
+            if single.size:
+                sv = vals[single]
+                sb = sv.astype(">f4").tobytes()
+                st = ts[single]
+                for i in range(single.size):
+                    v = float(sv[i])
+                    emit(
+                        int(st[i]), int(st[i]), MTID_GORILLA,
+                        sb[4 * i : 4 * i + 4], 1, 1, v, v, v, None, None,
                     )
+
+            for start, n in zip(run_bounds[:-1], lens):
+                if n == 1:
+                    continue
+                run_t = ts[start : start + n]
+                run_v = vals[start : start + n]
+                # fast path 2: exactly constant run -> single PMC segment
+                # (PMC always wins the fold on a constant run of n >= 2;
+                # float32(sum/n) == the value, bit-identical model)
+                if (run_v == run_v[0]).all():
+                    v = float(run_v[0])
+                    emit(
+                        int(run_t[0]), int(run_t[-1]), MTID_PMC,
+                        struct.pack(">f", run_v[0]), int(n), int(n),
+                        v, v, v * n, v, None,
+                    )
+                    continue
+                pos = 0
+                for seg in fit_run(run_t, run_v, error_bound, length_bound):
                     if seg.mtid == MTID_PMC:
                         p0, p1 = float(pmc_value(seg.model)), None
+                        cnt, lo, hi, total = segment_agg(
+                            seg.mtid, seg.model, seg.start_ms, seg.end_ms, interval_ms
+                        )
                     elif seg.mtid == MTID_SWING:
                         a, b = swing_decode(seg.model)
                         p0, p1 = float(a), float(b)
-                    else:
-                        p0, p1 = None, None
-                    rows.append(
-                        (
-                            conv_id,
-                            metric,
-                            seg.start_ms,
-                            seg.end_ms,
-                            interval_ms,
-                            seg.mtid,
-                            seg.model,
-                            seg.n,
-                            cnt,
-                            np.float32(lo),
-                            np.float32(hi),
-                            total,
-                            p0,
-                            p1,
+                        cnt, lo, hi, total = segment_agg(
+                            seg.mtid, seg.model, seg.start_ms, seg.end_ms, interval_ms
                         )
+                    else:
+                        # Gorilla and raw are lossless: aggregates from the
+                        # source slice equal aggregates from the decoded
+                        # model — skip the round trip
+                        p0, p1 = None, None
+                        sl = run_v[pos : pos + seg.n]
+                        cnt = seg.n
+                        lo, hi = float(sl.min()), float(sl.max())
+                        total = float(sl.sum(dtype=np.float64))
+                    emit(
+                        seg.start_ms, seg.end_ms, seg.mtid, seg.model,
+                        seg.n, cnt, lo, hi, total, p0, p1,
                     )
-        return pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+                    pos += seg.n
+        return pd.DataFrame(out, columns=_COLS)
 
     return fit
 

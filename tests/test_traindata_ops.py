@@ -1,0 +1,152 @@
+"""Training-data operator tests: dedup family, similarity search,
+text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from modelardb_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from modelardb_spark.operators.similarity import (
+    cosine_topk,
+    load_embeddings,
+    lsh_topk,
+)
+from modelardb_spark.operators.textstats import (
+    language_id,
+    load_documents,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    d = load_documents(spark, sf_small).cache()
+    d.count()
+    return d
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    # plant exact duplicates by unioning shifted copies
+    dup = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = exact_duplicates(both)
+    groups = out.where("group_size > 1")
+    assert groups.count() == 20  # 10 pairs, both members reported
+    assert out.count() == docs.count() + 10
+    # canonical id is the original (minimum) doc_id
+    assert groups.where("canonical_doc_id >= 100000").count() == 0
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, docs):
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    # LSH never invents pairs above threshold (it verifies exactly) and
+    # at j>=0.5 with 4x4 banding recall should be high
+    assert lsh <= brute
+    if brute:
+        assert len(lsh) / len(brute) >= 0.6
+
+
+def test_simhash_near_duplicates(spark, docs):
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(both).collect()}
+    # identical text -> identical signature
+    for i in range(5):
+        assert sigs[i] == sigs[i + 100000]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_pairs(both, max_hamming=0).collect()
+    }
+    for i in range(5):
+        assert (i, i + 100000) in pairs
+
+
+def test_cosine_topk_self_consistency(spark, sf_small):
+    emb = load_embeddings(spark, sf_small)
+    out = cosine_topk(emb, emb.where("vec_id < 5"), k=3).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_topk_approximates_brute_force(spark, sf_small):
+    emb = load_embeddings(spark, sf_small).cache()
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, emb, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, k=3, bits=3).collect()
+    }
+    # bucket-local search: whatever it returns for rank 1..k must be a
+    # plausible neighbor set; measure overlap as a sanity floor
+    overlap = len(brute & approx) / len(brute)
+    assert overlap > 0.15
+
+
+def test_token_count_semantics(spark, docs):
+    row = token_count(docs).where("doc_id = 0").first()
+    text = docs.where("doc_id = 0").first()["text"]
+    assert row["n_tokens"] == len(text.split(" "))
+    assert row["n_chars"] == len(text)
+
+
+def test_language_id_deterministic(spark, docs):
+    a = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    b = {r["doc_id"]: r["predicted_lang"] for r in language_id(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_multimodal_stub_contract(spark, docs):
+    media = synthetic_media(spark, docs.limit(50))
+    feats = extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    # strict mode raises like a missing codec
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", "image", strict=True)
+    # deterministic features
+    f1 = decode_stub(b"payload", "image")
+    f2 = decode_stub(b"payload", "image")
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_frame_sample_plan(spark, docs):
+    media = synthetic_media(spark, docs.limit(30))
+    plan = frame_sample_plan(media, every_ms=1000)
+    vids = media.where("kind = 'video'").collect()
+    got = plan.groupBy("media_id").count().collect()
+    want = {v["media_id"]: v["duration_ms"] // 1000 + 1 for v in vids}
+    assert {r["media_id"]: r["count"] for r in got} == want
