@@ -263,6 +263,47 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", "sha_prefix")
 
 
+def _q_hour_of_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-cube aggregate (the reference's *_HOUR_OF_DAY UDAF
+    family) computed from the 1h rollup tier."""
+    from modelardb_spark.operators.rollup import calendar_rollup
+
+    r1h = rollup_from_segments(_segments(spark, sf_dir), HOUR_MS)
+    cube = calendar_rollup(r1h, "hour_of_day")
+    return cube.select(
+        "conv_id",
+        "metric",
+        F.col("field").cast("int").alias("field"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        F.col("vsum").cast("double").alias("vsum"),
+        F.col("mean").cast("double").alias("mean"),
+    )
+
+
+def _q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Logger-style compression accounting; rows-only check
+    (the oracle has no segments table to measure)."""
+    from modelardb_spark.operators.rollup import compression_stats
+
+    return compression_stats(_segments(spark, sf_dir))
+
+
+def _q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-restricted rollup: the point-time predicate is applied as a
+    segment-overlap predicate before any reconstruction (the
+    reference's ViewDataPoint timestamp rewrite + START/END
+    restriction)."""
+    from modelardb_spark.operators.grid import restrict
+
+    lo = 1_704_672_000_000  # 2024-01-08T00:00Z
+    hi = 1_705_276_799_999  # 2024-01-14T23:59:59.999Z
+    seg = restrict(_segments(spark, sf_dir), lo, hi)
+    r = rollup_from_segments(seg, HOUR_MS)
+    return _std_rollup(r.where((F.col("window_ms") >= lo) & (F.col("window_ms") <= hi)))
+
+
 def _q_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain Spark SQL over the engine's rollup view — the reference
     delegates all joins/sorts/limits to the host engine (SURVEY.md
@@ -488,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_points_grid": _q_data_points,
         "segment_aggregates": _q_segment_aggregates,
         "busiest_hours": _q_busiest_hours,
+        "hour_of_day_cube": _q_hour_of_day_cube,
+        "windowed_rollup": _q_windowed_rollup,
+        "compression_stats": _q_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -567,6 +611,38 @@ WHERE metric = 'turn_rate'
 GROUP BY 1
 ORDER BY turns DESC, window_ms
 LIMIT 20
+"""
+        ),
+        "hour_of_day_cube": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, metric,
+       CAST(hour(to_timestamp(((bin_ms // 3600000) * 3600000) / 1000)) AS INTEGER)
+         AS field,
+       COUNT(*) AS cnt,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax,
+       SUM(CAST(value AS DOUBLE)) AS vsum,
+       SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
+FROM series
+GROUP BY 1, 2, 3
+"""
+        ),
+        "windowed_rollup": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, metric,
+       (bin_ms // 3600000) * 3600000 AS window_ms,
+       COUNT(*) AS cnt,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax,
+       SUM(CAST(value AS DOUBLE)) AS vsum,
+       SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
+FROM series
+WHERE bin_ms >= 1704672000000 AND bin_ms <= 1705276799999
+GROUP BY 1, 2, 3
 """
         ),
         "token_count": """

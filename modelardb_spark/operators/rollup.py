@@ -200,6 +200,71 @@ def rollup_cascade(finer: DataFrame, coarser_window_ms: int) -> DataFrame:
     )
 
 
+#: calendar fields supported by the cube rollup — the reference ships
+#: {COUNT,MIN,MAX,SUM,AVG}_{YEAR..SECOND} as 40 UDAFs
+#: (SparkUDAF.scala:355-394); here one operator parameterized by field
+CALENDAR_FIELDS = {
+    "year": "year(ts)",
+    "month": "month(ts)",
+    "day_of_month": "dayofmonth(ts)",
+    "day_of_week": "dayofweek(ts)",
+    "am_pm": "CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END",
+    "hour_of_day": "hour(ts)",
+    "minute": "minute(ts)",
+}
+
+
+def calendar_rollup(finer: DataFrame, field: str) -> DataFrame:
+    """Cube aggregate over a calendar field (reference's *_HOUR_OF_DAY
+    style UDAFs): re-aggregates a window tier whose width divides the
+    field's period, so no segment splitting is ever needed.
+
+    `finer` must be at least as fine as the field (e.g. rollup_1h for
+    hour_of_day, rollup_1m for minute). UTC calendar.
+    """
+    if field not in CALENDAR_FIELDS:
+        raise ValueError(f"field must be one of {sorted(CALENDAR_FIELDS)}")
+    expr = CALENDAR_FIELDS[field].replace(
+        "ts", "timestamp_millis(window_ms)"
+    )
+    return (
+        finer.withColumn("field", F.expr(expr).cast("int"))
+        .groupBy("conv_id", "metric", "field")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
+    )
+
+
+def compression_stats(segments: DataFrame) -> DataFrame:
+    """Compression accounting per (conv_id, metric) using the
+    reference's ratio definition: 16 bytes/point raw vs 24-byte segment
+    metadata + model payload (+4/gap entry; always 0 here) —
+    ModelType.java:49-54, Logger.java:120-127."""
+    per_seg = segments.select(
+        "conv_id",
+        "metric",
+        "mtid",
+        F.col("n"),
+        (F.lit(24) + F.length("model")).alias("stored_bytes"),
+    )
+    return (
+        per_seg.groupBy("conv_id", "metric")
+        .agg(
+            F.count("*").alias("segments"),
+            F.sum("n").alias("points"),
+            F.sum("stored_bytes").alias("stored_bytes"),
+            F.round(
+                (16.0 * F.sum("n")) / F.sum("stored_bytes"), 6
+            ).alias("compression_ratio"),
+        )
+    )
+
+
 def segment_aggregates(segments: DataFrame) -> DataFrame:
     """Whole-series aggregates straight off the segment columns — the
     COUNT_S/MIN_S/MAX_S/SUM_S/AVG_S surface (SparkUDAF.scala:34-184)

@@ -1,0 +1,67 @@
+"""Structured Streaming incremental ingest.
+
+The reference ingests through legacy Spark DStreams with one receiver
+thread per ingestor running the SegmentGenerator loop
+(engines/spark/Spark.scala:157-186, WorkingSetReceiver.scala:25-65)
+and reconciles "temporary" vs finalized segments in an IndexedRDD
+cache (SparkCache.scala:27-213). The Spark-native replacement is
+Structured Streaming + `foreachBatch`: every micro-batch runs the same
+batch operators (derive -> fit -> append), and snapshot-visible
+appends replace the temporary-segment machinery entirely — readers
+simply see data up to the last committed batch (the reference's
+`maximum_latency` knob maps to the stream trigger interval).
+
+Contract: micro-batches must be bin-aligned per conversation — a
+1-minute bin's turns must not span two batches, or its count would be
+split across two segments (the file-per-time-range layout of incoming
+transcript drops satisfies this naturally; the reference makes the
+same in-order, aligned-arrival assumption and has no watermark/late
+data handling, TimeSeriesGroup.java:153-176).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
+from modelardb_spark.io.tables import TableCatalog, with_part_key
+from modelardb_spark.operators.fit import fit_segments
+from modelardb_spark.operators.series import derive_series
+from modelardb_spark.sources.readers import TRANSCRIPT_SCHEMA
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Incrementally ingest transcript parquet drops from `input_path`
+    into the segments table at `out_root`. Returns the streaming query
+    (awaitTermination is the caller's choice). Exactly-once per batch
+    via the Structured Streaming checkpoint + idempotent appends."""
+    catalog = TableCatalog(out_root)
+
+    def process(batch_df, batch_id: int) -> None:
+        segments = with_part_key(
+            fit_segments(derive_series(batch_df, cfg), cfg), cfg.conv_buckets
+        )
+        catalog.append(segments, "segments", ["part_day"])
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_path)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{out_root}/_stream_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,100 @@
+"""Source readers + Structured Streaming incremental ingest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.io.tables import TableCatalog
+from modelardb_spark.operators.grid import grid
+from modelardb_spark.operators.series import derive_series
+from modelardb_spark.operators.transcripts import synthetic_transcripts
+from modelardb_spark.sources import (
+    read_transcripts_csv,
+    read_transcripts_orc,
+    read_transcripts_parquet,
+    register_external_table,
+)
+from modelardb_spark.streaming import stream_ingest
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    t = synthetic_transcripts(spark, n_convs=6, turns_per_conv=240, mega_convs=0).cache()
+    t.count()
+    return t
+
+
+def test_round_trip_parquet_orc_csv(spark, transcripts, tmp_path):
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in transcripts.collect()
+    )
+    p = str(tmp_path / "t.parquet")
+    transcripts.write.parquet(p)
+    got = read_transcripts_parquet(spark, p)
+    assert sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in got.collect()) == want
+
+    o = str(tmp_path / "t.orc")
+    transcripts.write.orc(o)
+    got = read_transcripts_orc(spark, o)
+    assert sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in got.collect()) == want
+
+    c = str(tmp_path / "t.csv")
+    transcripts.withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS")
+    ).write.option("header", "true").csv(c)
+    got = read_transcripts_csv(spark, c, ts_format="yyyy-MM-dd HH:mm:ss.SSS")
+    assert sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in got.collect()) == want
+    # timestamps survive at millisecond precision
+    a = transcripts.agg(F.sum(F.unix_millis(F.col("ts").cast("timestamp")))).first()[0]
+    b = got.agg(F.sum(F.unix_millis(F.col("ts").cast("timestamp")))).first()[0]
+    assert a == b
+
+
+def test_register_external_table(spark, transcripts, tmp_path):
+    p = str(tmp_path / "ext.parquet")
+    transcripts.write.parquet(p)
+    register_external_table(spark, "ext_transcripts", p)
+    n = spark.sql("SELECT COUNT(*) FROM ext_transcripts").first()[0]
+    assert n == transcripts.count()
+
+
+def test_stream_ingest_incremental(spark, transcripts, tmp_path):
+    """Two day-aligned drops ingested via availableNow streaming must
+    reconstruct exactly the same points as one batch run."""
+    in_dir = str(tmp_path / "drops")
+    os.makedirs(in_dir)
+    day_ms = 86_400_000
+    t_with_day = transcripts.withColumn(
+        "day", (F.unix_millis(F.col("ts").cast("timestamp")) / day_ms).cast("long")
+    )
+    days = sorted(r[0] for r in t_with_day.select("day").distinct().collect())
+    half = days[: len(days) // 2]
+    t_with_day.where(F.col("day").isin(half)).drop("day").write.parquet(
+        f"{in_dir}/drop1.parquet"
+    )
+    t_with_day.where(~F.col("day").isin(half)).drop("day").write.parquet(
+        f"{in_dir}/drop2.parquet"
+    )
+
+    out_root = str(tmp_path / "out")
+    q = stream_ingest(spark, f"{in_dir}/*.parquet", out_root, EngineConfig())
+    q.awaitTermination(120)
+
+    segments = TableCatalog(out_root).read(spark, "segments")
+    pts = grid(segments)
+    series = derive_series(transcripts)
+    bad = (
+        series.alias("a")
+        .join(pts.alias("b"), ["conv_id", "metric", "bin_ms"], "full_outer")
+        .where("a.value IS DISTINCT FROM b.value")
+    )
+    assert bad.count() == 0
+
+    # restart with no new files: stream checkpoint prevents re-ingest
+    q2 = stream_ingest(spark, f"{in_dir}/*.parquet", out_root, EngineConfig())
+    q2.awaitTermination(60)
+    assert TableCatalog(out_root).read(spark, "segments").count() == segments.count()
