@@ -41,61 +41,120 @@ def with_norm(emb: DataFrame) -> DataFrame:
     return emb.withColumn("norm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
 
 
-def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """Exact top-k neighbors of each query vector (excluding itself).
-    (query_id, neighbor_id, rank, cosine). Deterministic tie-break by
-    neighbor id."""
-    from pyspark.sql import Window
+def _query_matrix(queries: DataFrame):
+    """Collect the (small) query side to a normalized NumPy matrix —
+    the broadcast dimension of the block nested-loop join."""
+    rows = queries.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    return ids, m, norms
 
-    base = with_norm(emb).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("emb_n"),
-        F.col("norm").alias("norm_n"),
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors of each query vector (excluding itself):
+    (query_id, neighbor_id, rank, cosine), ties broken by neighbor id.
+
+    Physical shape: the query matrix is broadcast; every partition of
+    the neighbor side computes a NumPy/BLAS block matmul and emits only
+    its LOCAL top-k per query, so the final shuffle carries
+    O(queries x k x partitions) rows instead of O(queries x n) — the
+    global top-k is a subset of the union of local top-ks."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    q = with_norm(queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("emb_q"),
-        F.col("norm").alias("norm_q"),
+
+    qids, qm, qnorms = _query_matrix(queries)
+    sc = emb.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qm, qnorms))
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
     )
-    joined = base.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("emb_q"), F.col("emb_n")) / (F.col("norm_q") * F.col("norm_n")),
-            6,
-        ).alias("cosine"),
-    )
+
+    def run(batches):
+        import pandas as pd
+
+        ids_q, m_q, n_q = bq.value
+        for pdf in batches:
+            nid = pdf["vec_id"].to_numpy().astype(np.int64)
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bnorm = np.sqrt((block * block).sum(axis=1))
+            sims = (m_q @ block.T) / np.outer(n_q, bnorm)  # queries x block
+            sims[np.equal.outer(ids_q, nid)] = -np.inf  # exclude self
+            sims = np.round(sims, 6)
+            kk = min(k, nid.size)
+            # local top-k per query with (cosine desc, neighbor asc) ties
+            order = np.lexsort((nid[None, :].repeat(len(ids_q), 0), -sims), axis=1)[
+                :, :kk
+            ]
+            rows_q = np.repeat(ids_q, kk)
+            rows_n = nid[order].ravel()
+            rows_c = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = rows_c > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": rows_q[keep],
+                    "neighbor_id": rows_n[keep],
+                    "cosine": rows_c[keep],
+                }
+            )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(run, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
 
 
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All pairs with cosine >= threshold (doc_a < doc_b)."""
-    base = with_norm(emb)
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    """All pairs with cosine >= threshold (vec_a < vec_b). Block
+    nested-loop with a broadcast full matrix (fine while one side fits
+    in executor memory; beyond that, switch to lsh_buckets and join on
+    the bucket key)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    ids, m, norms = _query_matrix(emb)
+    bq = emb.sparkSession.sparkContext.broadcast((ids, m, norms))
+    schema = StructType(
+        [
+            StructField("vec_a", LongType(), False),
+            StructField("vec_b", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+
+    def run(batches):
+        import pandas as pd
+
+        ids_all, m_all, n_all = bq.value
+        for pdf in batches:
+            aid = pdf["vec_id"].to_numpy().astype(np.int64)
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bnorm = np.sqrt((block * block).sum(axis=1))
+            sims = np.round((block @ m_all.T) / np.outer(bnorm, n_all), 6)
+            mask = (sims >= threshold) & (aid[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "vec_a": aid[ai],
+                    "vec_b": ids_all[bi],
+                    "cosine": sims[ai, bi],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
 def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
