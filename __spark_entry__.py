@@ -512,14 +512,33 @@ _SQL_COSINE = (
 )
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """The engine's epoch-millis arithmetic is timezone-independent,
+    but TIMESTAMP_NTZ -> TIMESTAMP casts interpret naive values in the
+    session time zone — pin it to UTC regardless of how the caller's
+    session was built (runtime-settable conf)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full pipeline to the
     1h rollup tier."""
-    return _q_rollup_1h(spark, "/root/testdata/sf0.001")
+    return _utc(_q_rollup_1h)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _utc(fn)
+        for name, fn in _RAW_QUERIES.items()
+    }
+
+
+_RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "transcripts": _q_transcripts,
         "series_points": _q_series,
         "gap_fill": _q_gap_fill,

@@ -39,7 +39,6 @@ Scale design:
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import numpy as np

@@ -14,6 +14,9 @@ import os
 from pyspark.sql import SparkSession
 
 ENGINE_CONF: dict[str, str] = {
+    # pyspark's in-process launch defaults to a 1g heap; in local mode
+    # the driver hosts all executor state, so size it like an executor
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -31,6 +34,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # make the package importable in executor Python workers regardless
+    # of the caller's cwd (the spark-submit equivalent is --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = SparkSession.builder.appName(app_name)
     if master is None and not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +50,16 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    # shuffle/spill scratch on tmpfs when available: on this class of
+    # box the shared disk is the first scaling bottleneck for many
+    # concurrent shuffle writers (production analogue: fast local NVMe
+    # per executor)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        conf.setdefault("spark.local.dir", local_dir)
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions
         if shuffle_partitions is not None
