@@ -35,7 +35,7 @@ def _spark(cores: str):
 
     s = get_spark(
         master=f"local[{cores}]",
-        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", int(cores) * 2)),
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", int(cores) * 8)),
         app_name=f"bench-{cores}",
     )
     s.sparkContext.setLogLevel("ERROR")
@@ -44,7 +44,7 @@ def _spark(cores: str):
 
 def headline_pipeline(spark, n_convs: int = SYN_CONVS, turns: int = SYN_TURNS) -> tuple[int, float]:
     """Synthetic transcripts -> rollup tiers; returns (turns, seconds)."""
-    from modelardb_spark.operators.fit import fit_segments
+    from modelardb_spark.operators.fit import fit_segments_wide
     from modelardb_spark.operators.rollup import (
         DAY_MS,
         HOUR_MS,
@@ -52,7 +52,7 @@ def headline_pipeline(spark, n_convs: int = SYN_CONVS, turns: int = SYN_TURNS) -
         rollup_cascade,
         rollup_from_segments,
     )
-    from modelardb_spark.operators.series import derive_series
+    from modelardb_spark.operators.series import derive_series_wide
     from modelardb_spark.operators.transcripts import synthetic_transcripts
 
     t = synthetic_transcripts(
@@ -62,7 +62,7 @@ def headline_pipeline(spark, n_convs: int = SYN_CONVS, turns: int = SYN_TURNS) -
     n_turns = t.count()  # materialize input outside the timed window
     # warmup: spin up Python workers + codegen before the timed window
     warm = synthetic_transcripts(spark, n_convs=32, turns_per_conv=20, mega_convs=0)
-    rollup_from_segments(fit_segments(derive_series(warm)), HOUR_MS).count()
+    rollup_from_segments(fit_segments_wide(derive_series_wide(warm)), HOUR_MS).count()
     verbose = os.environ.get("BENCH_VERBOSE") == "1"
 
     def mark(label, t_prev):
@@ -72,19 +72,21 @@ def headline_pipeline(spark, n_convs: int = SYN_CONVS, turns: int = SYN_TURNS) -
         return now
 
     t0 = time.time()
-    segments = fit_segments(derive_series(t)).persist()
+    segments = fit_segments_wide(derive_series_wide(t)).persist()
     segments.count()
     tm = mark("derive+fit", t0)
-    r1m = rollup_from_segments(segments, MINUTE_MS).persist()
-    r1m.count()
+    # 1m tier: map-only (window == bin width -> no shuffle, no cache)
+    rollup_from_segments(segments, MINUTE_MS).count()
     tm = mark("rollup_1m", tm)
-    r1h = rollup_cascade(r1m, HOUR_MS).persist()
+    # 1h tier directly from the (compressed, small) segments table;
+    # 1d cascades from 1h — never re-shuffles point-sized data
+    r1h = rollup_from_segments(segments, HOUR_MS).persist()
     r1h.count()
     tm = mark("rollup_1h", tm)
     rollup_cascade(r1h, DAY_MS).count()
     mark("rollup_1d", tm)
     dt = time.time() - t0
-    for df in (segments, r1m, r1h, t):
+    for df in (segments, r1h, t):
         df.unpersist()
     return n_turns, dt
 
@@ -142,7 +144,7 @@ def main() -> None:
         for _ in range(rounds):
             for cores in (lo, hi):
                 env = dict(env_base, SPARK_GRAFT_CPUS=cores,
-                           BENCH_SHUFFLE=str(int(cores) * 2))
+                           BENCH_SHUFFLE=str(int(cores) * 8))
                 cmd = [sys.executable, __file__, "--pipeline-only"]
                 if pin:
                     cmd = ["taskset", "-c", f"0-{int(cores) * 2 - 1}"] + cmd

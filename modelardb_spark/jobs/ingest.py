@@ -27,14 +27,14 @@ from pyspark.sql import functions as F
 from modelardb_spark.config import EngineConfig
 from modelardb_spark.io.checkpoints import CheckpointStore
 from modelardb_spark.io.tables import DAY_MS, TableCatalog, with_part_key
-from modelardb_spark.operators.fit import fit_segments
+from modelardb_spark.operators.fit import fit_segments_wide
 from modelardb_spark.operators.rollup import (
     HOUR_MS,
     MINUTE_MS,
     rollup_cascade,
     rollup_from_segments,
 )
-from modelardb_spark.operators.series import derive_series
+from modelardb_spark.operators.series import derive_series_wide
 
 
 def _day_of_ts(col):
@@ -70,16 +70,20 @@ def ingest(
             raise RuntimeError("injected failure for resume test")
         t0 = time.time()
         part = transcripts.where(_day_of_ts("ts").isin([int(d) for d in chunk]))
-        series = derive_series(part, cfg)
-        segments = with_part_key(fit_segments(series, cfg), cfg.conv_buckets)
+        series = derive_series_wide(part, cfg)
+        segments = with_part_key(fit_segments_wide(series, cfg), cfg.conv_buckets)
         segments = segments.persist()
         seg_rows = segments.count()
         catalog.overwrite_partitions(segments, "segments", ["part_day"])
 
-        r1m = rollup_from_segments(segments, MINUTE_MS)
-        r1m = r1m.withColumn("part_day", (F.col("window_ms") / DAY_MS).cast("long")).persist()
+        # 1m tier is map-only (window == bin) and written straight out;
+        # 1h comes from the compressed segments (small shuffle);
+        # 1d cascades from 1h — point-sized data is never re-shuffled
+        r1m = rollup_from_segments(segments, MINUTE_MS).withColumn(
+            "part_day", (F.col("window_ms") / DAY_MS).cast("long")
+        )
         catalog.overwrite_partitions(r1m, "rollup_1m", ["part_day"])
-        r1h = rollup_cascade(r1m, HOUR_MS).withColumn(
+        r1h = rollup_from_segments(segments, HOUR_MS).withColumn(
             "part_day", (F.col("window_ms") / DAY_MS).cast("long")
         ).persist()
         catalog.overwrite_partitions(r1h, "rollup_1h", ["part_day"])
@@ -105,7 +109,6 @@ def ingest(
             )
         rows_out_total += seg_rows
         segments.unpersist()
-        r1m.unpersist()
         r1h.unpersist()
 
     catalog.write_manifest(

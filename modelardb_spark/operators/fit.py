@@ -329,6 +329,85 @@ def _fit_batches(error_bound: float, length_bound: int, interval_ms: int):
     return run
 
 
+def _fit_batches_wide(
+    metrics: tuple[str, ...], error_bound: float, length_bound: int, interval_ms: int
+):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {c: [] for c in _COLS}
+        carry: pd.DataFrame | None = None
+
+        def process(pdf: pd.DataFrame) -> None:
+            conv = pdf["conv_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            ts = pdf["bin_ms"].to_numpy().astype(np.int64)
+            for m in metrics:
+                vals = pdf[m].to_numpy().astype(np.float32)
+                keep = ~np.isnan(vals)
+                _fit_sorted_block(
+                    conv[keep],
+                    np.full(int(keep.sum()), m, dtype=object),
+                    salt[keep],
+                    ts[keep],
+                    vals[keep],
+                    error_bound,
+                    length_bound,
+                    interval_ms,
+                    out,
+                )
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            conv = pdf["conv_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            key_change = np.zeros(len(pdf), dtype=bool)
+            if len(pdf) > 1:
+                key_change[1:] = (conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1])
+            boundaries = np.flatnonzero(key_change)
+            if boundaries.size == 0:
+                carry = pdf
+                continue
+            cut = boundaries[-1]
+            carry = pdf.iloc[cut:]
+            process(pdf.iloc[:cut])
+            df = _flush(out, interval_ms)
+            if df is not None:
+                yield df
+        if carry is not None and len(carry):
+            process(carry)
+            df = _flush(out, interval_ms)
+            if df is not None:
+                yield df
+
+    return run
+
+
+def fit_segments_wide(
+    wide_series: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+) -> DataFrame:
+    """Wide-input fit (see derive_series_wide): one shuffled row per
+    active bin carries every metric's value; Python fits each metric
+    column over the shared timestamp grid. Output rows are identical to
+    `fit_segments` on the unpivoted series."""
+    salt_ms = cfg.salt_days * 86_400_000
+    keyed = wide_series.withColumn(
+        "salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long")
+    )
+    num = cfg.shuffle_partitions or int(
+        wide_series.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arranged = keyed.repartition(num, "conv_id", "salt").sortWithinPartitions(
+        "conv_id", "salt", "bin_ms"
+    )
+    return arranged.mapInPandas(
+        _fit_batches_wide(metrics, cfg.error_bound, cfg.length_bound, cfg.interval_ms),
+        SEGMENT_SCHEMA,
+    )
+
+
 def fit_segments(
     series: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

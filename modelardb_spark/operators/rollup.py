@@ -161,12 +161,22 @@ def _dense_partials(segments: DataFrame, window_ms: int) -> DataFrame:
     return dense.mapInPandas(run, ROLLUP_SCHEMA)
 
 
-def rollup_from_segments(segments: DataFrame, window_ms: int) -> DataFrame:
+def rollup_from_segments(
+    segments: DataFrame, window_ms: int, interval_ms: int = MINUTE_MS
+) -> DataFrame:
     """segments -> (conv_id, metric, window_ms, cnt, vmin, vmax, vsum,
-    mean). One shuffle (the final groupBy); partials are map-side."""
+    mean).
+
+    General case: one shuffle (the final groupBy) over map-side
+    partials. When `window_ms == interval_ms` (the finest tier), every
+    window is exactly one bin and therefore covered by exactly one
+    segment of its series — the groupBy is a semantic no-op and is
+    skipped entirely: the finest tier is a map-only job."""
     partials = _analytic_partials(segments, window_ms).unionByName(
         _dense_partials(segments, window_ms)
     )
+    if window_ms == interval_ms:
+        return partials.withColumn("mean", F.col("vsum") / F.col("cnt"))
     return (
         partials.groupBy("conv_id", "metric", "window_ms")
         .agg(

@@ -54,6 +54,27 @@ def derive_series(
     ).select("conv_id", "metric", "bin_ms", "value")
 
 
+def derive_series_wide(
+    transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Wide variant: (conv_id, bin_ms, turn_rate float, tool_usage
+    float) — both metrics share the active-bin grid, so keeping them as
+    columns instead of unpivoted rows HALVES the rows through the fit
+    shuffle and the Arrow transfer (the hottest path at scale).
+    `fit_segments_wide` consumes this; output segments are identical to
+    the narrow path."""
+    iv = cfg.interval_ms
+    return transcripts.groupBy(
+        F.col("conv_id"),
+        (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / iv) * iv
+        ).alias("bin_ms"),
+    ).agg(
+        F.count(F.lit(1)).cast("float").alias("turn_rate"),
+        F.count(F.col("tool")).cast("float").alias("tool_usage"),
+    )
+
+
 def gap_fill(
     series: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, max_fill_bins: int | None = None
 ) -> DataFrame:
