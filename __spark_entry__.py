@@ -107,7 +107,14 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fit_segments(_series(spark, sf_dir), CFG)
+    # wide fit path: identical segment rows, half the shuffled rows
+    # (tests/test_fit_wide.py asserts equality with the narrow path)
+    from modelardb_spark.operators.fit import fit_segments_wide
+    from modelardb_spark.operators.series import derive_series_wide
+
+    return fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_dir), CFG), CFG
+    )
 
 
 def _std_rollup(df: DataFrame) -> DataFrame:

@@ -35,7 +35,7 @@ def _spark(cores: str):
 
     s = get_spark(
         master=f"local[{cores}]",
-        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", int(cores) * 8)),
+        shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", int(cores) * 2)),
         app_name=f"bench-{cores}",
     )
     s.sparkContext.setLogLevel("ERROR")

