@@ -311,6 +311,33 @@ def _q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _std_rollup(r.where((F.col("window_ms") >= lo) & (F.col("window_ms") <= hi)))
 
 
+def _q_derived_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived value series (the reference's config-compiled
+    ValueFunctions) as plain column expressions, fitted and rolled up
+    like base metrics."""
+    from modelardb_spark.operators.transform import derive_value_series
+
+    s = derive_value_series(
+        _series(spark, sf_dir),
+        {"turn_rate_x10": ("turn_rate", "cast(value as double) * 10.0")},
+    )
+    return s.select("conv_id", "metric", "bin_ms", "value")
+
+
+def _q_rollup_1h_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy pipeline (5% error bound): rows-only driver check; the
+    within-bound guarantee is asserted by
+    tests/test_pipeline.py::test_error_bound_rollup_within_bound."""
+    lossy = EngineConfig(error_bound=5.0)
+    from modelardb_spark.operators.fit import fit_segments_wide
+    from modelardb_spark.operators.series import derive_series_wide
+
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_dir), lossy), lossy
+    )
+    return _std_rollup(rollup_from_segments(seg, HOUR_MS))
+
+
 def _q_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain Spark SQL over the engine's rollup view — the reference
     delegates all joins/sorts/limits to the host engine (SURVEY.md
@@ -557,6 +584,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "busiest_hours": _q_busiest_hours,
         "hour_of_day_cube": _q_hour_of_day_cube,
         "windowed_rollup": _q_windowed_rollup,
+        "derived_series": _q_derived_series,
+        "rollup_1h_lossy": _q_rollup_1h_lossy,  # rows-only (lossy)
         "compression_stats": _q_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
@@ -669,6 +698,17 @@ SELECT conv_id, metric,
 FROM series
 WHERE bin_ms >= 1704672000000 AND bin_ms <= 1705276799999
 GROUP BY 1, 2, 3
+"""
+        ),
+        "derived_series": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, metric, bin_ms, value FROM series
+UNION ALL
+SELECT conv_id, 'turn_rate_x10' AS metric, bin_ms,
+       CAST(CAST(value AS DOUBLE) * 10.0 AS FLOAT) AS value
+FROM series WHERE metric = 'turn_rate'
 """
         ),
         "token_count": """
