@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the model layer — SURVEY.md
+§5 item 6, strengthened: arbitrary float32 series through fit+grid must
+(a) cover every point exactly once, (b) satisfy the error-bound
+invariant, (c) agree with the literal reference-loop oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modelardb_spark.models import (
+    fit_run,
+    outside_percentage_error_bound,
+    segment_grid,
+)
+from modelardb_spark.models.gorilla import gorilla_compress, gorilla_decompress
+from tests.reference_oracle import oracle_fit_run
+
+INTERVAL = 60_000
+
+finite_f32 = st.floats(
+    min_value=np.float32(-1e30),
+    max_value=np.float32(1e30),
+    allow_nan=False,
+    width=32,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite_f32, min_size=1, max_size=120), st.sampled_from([0.0, 1.0, 10.0]))
+def test_fit_grid_error_bound_invariant(values, bound):
+    v = np.array(values, dtype=np.float32)
+    t = INTERVAL * np.arange(v.size, dtype=np.int64)
+    segs = fit_run(t, v, error_bound=bound)
+    assert sum(s.n for s in segs) == v.size
+    pos = 0
+    for s in segs:
+        ts, got = segment_grid(s.mtid, s.model, s.start_ms, s.end_ms, INTERVAL)
+        np.testing.assert_array_equal(ts, t[pos : pos + s.n])
+        for real, approx in zip(v[pos : pos + s.n], got):
+            assert not outside_percentage_error_bound(
+                bound, float(approx), float(real)
+            )
+        if bound == 0.0:
+            np.testing.assert_array_equal(got, v[pos : pos + s.n])
+        pos += s.n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(finite_f32, min_size=1, max_size=80))
+def test_fit_matches_reference_loop(values):
+    v = np.array(values, dtype=np.float32)
+    t = INTERVAL * np.arange(v.size, dtype=np.int64)
+    ours = [(s.start_ms, s.end_ms, s.mtid, s.model, s.n) for s in fit_run(t, v)]
+    assert ours == oracle_fit_run(t, v)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(finite_f32, min_size=1, max_size=50))
+def test_gorilla_lossless(values):
+    v = np.array(values, dtype=np.float32)
+    out = gorilla_decompress(gorilla_compress(v), v.size)
+    np.testing.assert_array_equal(v.view(np.uint32), out.view(np.uint32))
