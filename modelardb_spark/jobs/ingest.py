@@ -74,7 +74,14 @@ def ingest(
         segments = with_part_key(fit_segments_wide(series, cfg), cfg.conv_buckets)
         segments = segments.persist()
         seg_rows = segments.count()
-        catalog.overwrite_partitions(segments, "segments", ["part_day"])
+        # sort within files so parquet row-group min/max stats prune by
+        # model type, conversation, and time (Iceberg analogue:
+        # write-ordered-by)
+        catalog.overwrite_partitions(
+            segments.sortWithinPartitions("mtid", "conv_id", "start_ms"),
+            "segments",
+            ["part_day"],
+        )
 
         # 1m tier is map-only (window == bin) and written straight out;
         # 1h comes from the compressed segments (small shuffle);
