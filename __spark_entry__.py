@@ -546,14 +546,38 @@ _SQL_COSINE = (
 )
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make modelardb_spark importable on executor Python workers even
+    when the caller's session was built without this repo on
+    PYTHONPATH / cwd: zip the package once and addPyFile it."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "modelardb_spark")
+    if os.path.isdir(pkg_dir):
+        base = os.path.join(tempfile.gettempdir(), "modelardb_spark_pkg")
+        zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "modelardb_spark")
+        spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _utc(fn: Callable[[SparkSession, str], DataFrame]):
     """The engine's epoch-millis arithmetic is timezone-independent,
     but TIMESTAMP_NTZ -> TIMESTAMP casts interpret naive values in the
     session time zone — pin it to UTC regardless of how the caller's
-    session was built (runtime-settable conf)."""
+    session was built (runtime-settable conf). Also ships the package
+    to executors (addPyFile) for cwd-independent imports."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _ship_package(spark)
         return fn(spark, sf_dir)
 
     return wrapped
