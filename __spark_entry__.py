@@ -190,6 +190,52 @@ def _q_segment_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem — plain Spark SQL
+    delegation (the reference implements no agg/sort itself, SURVEY
+    §2.5); demonstrates the engine coexists with classic warehouse
+    queries on the same session."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def _q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join+sort+limit over customer/orders/lineitem —
+    broadcast-joined small dimensions, delegation evidence."""
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(f"{t}_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+        FROM customer_v c
+        JOIN orders_v o ON c.c_custkey = o.o_custkey
+        JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
+
+
 def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.textstats import load_documents, token_count
 
@@ -606,6 +652,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "data_points_grid": _q_data_points,
         "segment_aggregates": _q_segment_aggregates,
         "busiest_hours": _q_busiest_hours,
+        "pricing_summary": _q_pricing_summary,
+        "top_unshipped_orders": _q_top_unshipped_orders,
         "hour_of_day_cube": _q_hour_of_day_cube,
         "windowed_rollup": _q_windowed_rollup,
         "derived_series": _q_derived_series,
@@ -724,6 +772,31 @@ WHERE bin_ms >= 1704672000000 AND bin_ms <= 1705276799999
 GROUP BY 1, 2, 3
 """
         ),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_unshipped_orders": """
+SELECT o.o_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
         "derived_series": (
             "WITH "
             + _SQL_SERIES
