@@ -296,16 +296,32 @@ def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+#: LSH parameters shared by the Spark queries and their SQL oracles
+_ND_BITS, _ND_TABLES, _ND_THRESH = 8, 8, 0.3
+_TOPK_BITS, _TOPK_K = 6, 5
+_LSH_SEED = 42
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (the scale path): candidates = pairs
+    sharing >= 1 bucket across _ND_TABLES tables, verified with exact
+    cosine >= _ND_THRESH. No driver collect of the vector table."""
     from modelardb_spark.operators.similarity import embedding_near_dup, load_embeddings
 
-    return embedding_near_dup(load_embeddings(spark, sf_dir), threshold=0.3)
+    return embedding_near_dup(
+        load_embeddings(spark, sf_dir),
+        threshold=_ND_THRESH,
+        bits=_ND_BITS,
+        tables=_ND_TABLES,
+        seed=_LSH_SEED,
+    )
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.similarity import load_embeddings, lsh_topk
 
-    return lsh_topk(load_embeddings(spark, sf_dir), k=5, bits=6)
+    return lsh_topk(load_embeddings(spark, sf_dir), k=_TOPK_K, bits=_TOPK_BITS,
+                    seed=_LSH_SEED)
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +348,64 @@ def _q_hour_of_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vmax").cast("double").alias("vmax"),
         F.col("vsum").cast("double").alias("vsum"),
         F.col("mean").cast("double").alias("mean"),
+    )
+
+
+def _q_hour_12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar cube on the reference's 12-hour-clock HOUR field
+    (Calendar.HOUR, SparkUDAF.scala:360 TimeCount(10, 25))."""
+    from modelardb_spark.operators.rollup import calendar_rollup
+
+    r1h = rollup_from_segments(_segments(spark, sf_dir), HOUR_MS)
+    cube = calendar_rollup(r1h, "hour")
+    return cube.select(
+        "conv_id",
+        "metric",
+        F.col("field").cast("int").alias("field"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        F.col("vsum").cast("double").alias("vsum"),
+        F.col("mean").cast("double").alias("mean"),
+    )
+
+
+def _q_lossy_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard invariant for the lossy (5%% error bound) pipeline: grid the
+    lossy segments, join every reconstructed point back to its raw
+    point, and emit any point whose percentage error
+    (Static.java:106-119 semantics: approx==real -> 0, real==0 -> inf)
+    exceeds the bound. MUST be empty — the oracle is the empty set."""
+    from modelardb_spark.operators.fit import fit_segments_wide
+    from modelardb_spark.operators.series import derive_series_wide
+
+    lossy = EngineConfig(error_bound=5.0)
+    t = transcripts_from_events(spark, sf_dir)
+    seg = fit_segments_wide(derive_series_wide(t, lossy), lossy)
+    approx = grid(seg).select(
+        "conv_id", "metric", "bin_ms", F.col("value").alias("approx_f")
+    )
+    raw = _series(spark, sf_dir).select(
+        "conv_id", "metric", "bin_ms", F.col("value").alias("real_f")
+    )
+    j = approx.join(raw, ["conv_id", "metric", "bin_ms"])
+    real_d = F.col("real_f").cast("double")
+    approx_d = F.col("approx_f").cast("double")
+    pct_err = (
+        F.when(approx_d == real_d, F.lit(0.0))
+        .when(real_d == 0.0, F.lit(float("inf")))
+        .otherwise(F.abs((real_d - approx_d) / real_d) * 100.0)
+    )
+    return (
+        j.select(
+            "conv_id",
+            "metric",
+            "bin_ms",
+            real_d.alias("real_value"),
+            approx_d.alias("approx_value"),
+            pct_err.alias("pct_err"),
+        )
+        .where(F.col("pct_err") > 5.0)
     )
 
 
@@ -382,6 +456,72 @@ def _q_rollup_1h_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_series_wide(transcripts_from_events(spark, sf_dir), lossy), lossy
     )
     return _std_rollup(rollup_from_segments(seg, HOUR_MS))
+
+
+def _gsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-series GROUP compression path: the two metrics of a
+    conversation (identical bin grid) fitted as ONE group — one model
+    row covers N series with the reference's gaps-as-absent-tids
+    protocol and query-time explode (TimeSeriesGroup.java:153-176,
+    SegmentGroup.java:51-111)."""
+    from modelardb_spark.operators.groupfit import fit_segments_grouped
+    from modelardb_spark.operators.series import derive_series_wide
+
+    return fit_segments_grouped(
+        derive_series_wide(transcripts_from_events(spark, sf_dir), CFG), CFG
+    )
+
+
+def _q_group_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h rollup computed entirely from GROUP segments (explode ->
+    stride decode / closed-form partials); at bound 0 it must equal the
+    raw-points rollup exactly — the hash check validates the whole
+    group compress -> explode -> reconstruct path."""
+    from modelardb_spark.operators.groupfit import rollup_from_group_segments
+
+    return _std_rollup(
+        rollup_from_group_segments(_gsegments(spark, sf_dir), HOUR_MS)
+    )
+
+
+def _q_group_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full group-compression round trip: wide series -> group segments
+    -> explode -> stride-decoded points."""
+    from modelardb_spark.operators.groupfit import grid_group
+
+    return grid_group(_gsegments(spark, sf_dir)).select(
+        "conv_id", "metric", "bin_ms", "value"
+    )
+
+
+def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression accounting for the group path (rows-only check; the
+    group-vs-per-series win is asserted in
+    tests/test_groupfit.py::test_group_compression_beats_per_series)."""
+    from modelardb_spark.operators.groupfit import group_compression_stats
+
+    return group_compression_stats(_gsegments(spark, sf_dir))
+
+
+def _q_dim_filtered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-routed rollup (the reference's Dimensions +
+    ViewSegment dim->gid rewrite): the channel predicate prunes
+    SEGMENTS via a broadcast join before any reconstruction, and the
+    dimension member is projected onto the result view."""
+    from modelardb_spark.operators.dimensions import (
+        conversation_dimensions,
+        dim_restrict,
+        with_dimensions,
+    )
+
+    seg = _segments(spark, sf_dir)
+    dims = conversation_dimensions(seg)
+    kept = dim_restrict(seg, dims, channel="web")
+    r = _std_rollup(rollup_from_segments(kept, HOUR_MS))
+    return with_dimensions(r, dims).select(
+        "conv_id", "metric", "window_ms", "cnt", "vmin", "vmax", "vsum",
+        "mean", "channel",
+    )
 
 
 def _q_busiest_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +732,37 @@ _SQL_COSINE = (
 )
 
 
+def _sql_lsh_sigs(bits: int, tables: int, seed: int) -> str:
+    """DuckDB CTEs reproducing `similarity.hyperplanes` +
+    `similarity._bucket_expr` exactly: plane component (i, j) of table
+    t is md5(f"{seed + 7919*t}:{i}:{j}")[:8] as a signed unit double,
+    and the projection is a strict left-to-right fold (list_reduce) —
+    the same evaluation order as the Spark-side
+    aggregate(zip_with(...)) fold, so the sign (i.e. the bucket) is
+    bit-identical across engines."""
+    return f"""
+planes AS (
+  SELECT t.tbl, i.i,
+         list_transform(generate_series(0, 63),
+           j -> ('0x' || substr(md5(CAST({seed} + 7919 * t.tbl AS VARCHAR)
+                                    || ':' || CAST(i.i AS VARCHAR)
+                                    || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967295.0 - 0.5) AS plane
+  FROM (SELECT unnest(generate_series(0, {tables - 1})) AS tbl) t,
+       (SELECT unnest(generate_series(0, {bits - 1})) AS i) i
+), sigs AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(SUM(CASE WHEN list_reduce(
+                list_transform(list_zip(e.embedding, p.plane),
+                               t -> CAST(t[1] AS DOUBLE) * t[2]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+)
+"""
+
+
 _SHIPPED_SESSIONS: set[int] = set()
 
 
@@ -655,10 +826,17 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pricing_summary": _q_pricing_summary,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "hour_of_day_cube": _q_hour_of_day_cube,
+        "hour_12_cube": _q_hour_12_cube,
+        "lossy_bound_violations": _q_lossy_bound_violations,
         "windowed_rollup": _q_windowed_rollup,
         "derived_series": _q_derived_series,
         "rollup_1h_lossy": _q_rollup_1h_lossy,  # rows-only (lossy)
         "compression_stats": _q_compression_stats,  # rows-only
+        "dim_filtered_rollup": _q_dim_filtered_rollup,
+        # multi-series group compression
+        "group_rollup_1h": _q_group_rollup_1h,
+        "group_data_points": _q_group_data_points,
+        "group_compression_stats": _q_group_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -670,7 +848,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "simhash_signatures": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        "lsh_topk": _q_lsh_topk,  # approximate ANN: rows-only check
+        "lsh_topk": _q_lsh_topk,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -709,6 +887,34 @@ WHERE n.next_ms IS NOT NULL
         "rollup_1m": _sql_raw_rollup(MINUTE_MS),
         "rollup_1h": _sql_raw_rollup(HOUR_MS),
         "rollup_1d": _sql_raw_rollup(DAY_MS),
+        "group_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "dim_filtered_rollup": (
+            "WITH "
+            + _SQL_SERIES
+            + """,
+dims AS (
+  SELECT conv_id,
+         CASE (('0x' || substr(md5(conv_id), 1, 1))::BIGINT % 4)
+           WHEN 0 THEN 'web' WHEN 1 THEN 'mobile'
+           WHEN 2 THEN 'api' ELSE 'sdk' END AS channel
+  FROM (SELECT DISTINCT conv_id FROM series)
+)
+SELECT s.conv_id, s.metric,
+       (s.bin_ms // 3600000) * 3600000 AS window_ms,
+       COUNT(*) AS cnt,
+       CAST(MIN(s.value) AS DOUBLE) AS vmin,
+       CAST(MAX(s.value) AS DOUBLE) AS vmax,
+       SUM(CAST(s.value AS DOUBLE)) AS vsum,
+       SUM(CAST(s.value AS DOUBLE)) / COUNT(*) AS mean,
+       d.channel
+FROM series s JOIN dims d USING (conv_id)
+WHERE d.channel = 'web'
+GROUP BY s.conv_id, s.metric, 3, d.channel
+"""
+        ),
+        "group_data_points": (
+            "WITH " + _SQL_SERIES + "SELECT conv_id, metric, bin_ms, value FROM series"
+        ),
         "data_points_grid": (
             "WITH " + _SQL_SERIES + "SELECT conv_id, metric, bin_ms, value FROM series"
         ),
@@ -756,6 +962,31 @@ FROM series
 GROUP BY 1, 2, 3
 """
         ),
+        "hour_12_cube": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, metric,
+       CAST(hour(to_timestamp(((bin_ms // 3600000) * 3600000) / 1000)) % 12
+            AS INTEGER) AS field,
+       COUNT(*) AS cnt,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax,
+       SUM(CAST(value AS DOUBLE)) AS vsum,
+       SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
+FROM series
+GROUP BY 1, 2, 3
+"""
+        ),
+        "lossy_bound_violations": """
+SELECT CAST(NULL AS VARCHAR) AS conv_id,
+       CAST(NULL AS VARCHAR) AS metric,
+       CAST(NULL AS BIGINT) AS bin_ms,
+       CAST(NULL AS DOUBLE) AS real_value,
+       CAST(NULL AS DOUBLE) AS approx_value,
+       CAST(NULL AS DOUBLE) AS pct_err
+WHERE 1 = 0
+""",
         "windowed_rollup": (
             "WITH "
             + _SQL_SERIES
@@ -857,11 +1088,40 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
         "embedding_near_dup": (
             "WITH "
             + _SQL_EMB_BASE
-            + f"""
+            + ", "
+            + _sql_lsh_sigs(_ND_BITS, _ND_TABLES, _LSH_SEED)
+            + f""",
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM sigs x JOIN sigs y
+    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
 SELECT * FROM (
-  SELECT q.vec_id AS vec_a, n.vec_id AS vec_b, {_SQL_COSINE} AS cosine
-  FROM base q JOIN base n ON q.vec_id < n.vec_id
-) WHERE cosine >= 0.3
+  SELECT c.vec_a, c.vec_b, {_SQL_COSINE} AS cosine
+  FROM cand c
+  JOIN base q ON q.vec_id = c.vec_a
+  JOIN base n ON n.vec_id = c.vec_b
+) WHERE cosine >= {_ND_THRESH}
+"""
+        ),
+        "lsh_topk": (
+            "WITH "
+            + _SQL_EMB_BASE
+            + ", "
+            + _sql_lsh_sigs(_TOPK_BITS, 1, _LSH_SEED)
+            + f""",
+pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {_SQL_COSINE} AS cosine
+  FROM base q
+  JOIN sigs sq ON sq.vec_id = q.vec_id
+  JOIN sigs sn ON sn.bucket = sq.bucket AND sn.tbl = sq.tbl
+  JOIN base n ON n.vec_id = sn.vec_id AND n.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_TOPK_K}
 """
         ),
         "multimodal_features": """
@@ -871,7 +1131,4 @@ SELECT doc_id AS media_id,
        substr(sha256(text), 1, 16) AS sha_prefix
 FROM documents
 """,
-        # lsh_topk intentionally has no oracle: approximate ANN result
-        # (bucket-local ranking) is not SQL-reproducible without
-        # replicating the hyperplane fold; driver records rows-only.
     }

@@ -52,13 +52,35 @@ def ingest(
 ) -> dict:
     """Run the pipeline; returns metrics. `fail_after_chunks` injects a
     crash after N chunks (resume tests only)."""
+    # The resume unit (UTC day) is only self-contained because segments
+    # and rollup windows never span a day when the fit salt is one day;
+    # a different salt_days would make per-day overwrite-on-resume drop
+    # boundary contributions, so refuse to run rather than corrupt.
+    if cfg.salt_days != 1:
+        raise ValueError(
+            "ingest(): resume unit is the UTC day and requires "
+            f"cfg.salt_days == 1 (got {cfg.salt_days})"
+        )
     catalog = TableCatalog(out_root)
     ckpt = CheckpointStore(out_root)
 
-    days = [
-        r[0]
-        for r in transcripts.select(_day_of_ts("ts").alias("d")).distinct().collect()
-    ]
+    # Stage the input day-partitioned ONCE per snapshot so that each
+    # chunk's read prunes to exactly its partition directories instead
+    # of rescanning the full input per chunk (O(1) passes over the
+    # input instead of O(#chunks)). Resumed runs reuse the staging.
+    staged_name = "staged_transcripts"
+    staged_manifest = catalog.read_manifest(staged_name)
+    if staged_manifest is None or staged_manifest.get("snapshot_id") != snapshot_id:
+        catalog.overwrite(
+            transcripts.withColumn("part_day", _day_of_ts("ts")),
+            staged_name,
+            ["part_day"],
+        )
+        catalog.write_manifest(staged_name, {"snapshot_id": snapshot_id})
+    staged = catalog.read(spark, staged_name)
+
+    # day inventory from the partition directory listing — no data scan
+    days = [int(v) for v in catalog.list_partitions(staged_name, "part_day")]
     done = ckpt.done_partitions("segments", snapshot_id)
     todo = sorted(d for d in days if str(d) not in done)
     metrics = {"days_total": len(days), "days_skipped": len(days) - len(todo)}
@@ -69,7 +91,11 @@ def ingest(
         if fail_after_chunks is not None and ci >= fail_after_chunks:
             raise RuntimeError("injected failure for resume test")
         t0 = time.time()
-        part = transcripts.where(_day_of_ts("ts").isin([int(d) for d in chunk]))
+        # partition-column filter -> directory pruning: only this
+        # chunk's files are listed and read
+        part = staged.where(
+            F.col("part_day").isin([int(d) for d in chunk])
+        ).drop("part_day")
         series = derive_series_wide(part, cfg)
         segments = with_part_key(fit_segments_wide(series, cfg), cfg.conv_buckets)
         segments = segments.persist()

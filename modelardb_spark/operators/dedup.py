@@ -175,32 +175,32 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash from token md5s: bit j of the signature is the
     sign of the sum over tokens of (+1 if bit j of md5(token) else -1).
-    Pure column algebra (explode tokens x bits), portable to SQL."""
+
+    Shuffle shape: ONE hash-aggregate keyed on doc_id with `bits`
+    vote columns. The token explode is map-only and collapsed by the
+    partial (map-side) aggregation, so the shuffle carries one row per
+    (doc, partition) — not tokens x bits rows as a (doc, bit)-keyed
+    groupBy would."""
     toks = normalized(docs).select(
         "doc_id", F.explode(F.split("norm", " ")).alias("tok")
     )
     # low 8 hex chars of md5 -> 32-bit integer
     h = F.conv(F.substring(F.md5("tok"), 25, 8), 16, 10).cast("long")
-    votes = (
-        toks.select("doc_id", h.alias("h"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            "h",
-        )
-        .groupBy("doc_id", "bit")
-        .agg(
+    votes = toks.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1)
-            ).alias("vote")
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, cast(bit as int))"))
-            .otherwise(0)
-        ).alias("simhash")
-    )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:

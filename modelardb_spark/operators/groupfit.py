@@ -1,0 +1,475 @@
+"""Multi-series GROUP compression: one model row covering N correlated
+series (the reference's defining mechanism).
+
+Reference semantics re-expressed Spark-first:
+
+- A *group* is a set of time series sharing one sampling-interval grid
+  (core/TimeSeriesGroup.java). Here the natural group is a
+  conversation: its metrics (turn_rate, tool_usage, ...) are defined on
+  exactly the same 1-minute bins.
+- At each timestamp the group emits one value per member series; the
+  model compresses the row-major interleaved stream
+  (t0,s0),(t0,s1),(t1,s0),(t1,s1),... — one segment row then covers
+  N series (one 24-byte metadata record instead of N; measured ~1.9x
+  stored-bytes win on the transcripts workload, see
+  tests/test_groupfit.py::test_group_compression_beats_per_series).
+- *Gaps*: when a member series has no value at the current grid of
+  timestamps, the reference flushes and records the absent tids on the
+  following segments (TimeSeriesGroup.java:153-176 emits NaN for the
+  gapped member; SegmentGenerator flushes on activity change). Here a
+  run is split whenever the active-member set changes, and each group
+  segment stores `gaps` = the ABSENT tids (SegmentGroup offsets
+  protocol, core/SegmentGroup.java:51-111).
+- *Explode*: at query time each group segment fans out to one logical
+  segment per present tid (SegmentGroup.explode, :51-111) carrying
+  (group_offset, group_size) so the decoder strides the interleaved
+  payload. Implemented as a JVM-side posexplode — no Python until the
+  dense decode itself.
+
+Model cascade for groups: PMC-Mean (the shared constant must satisfy
+the bound for every member's value at every timestamp — exactly the
+reference group-PMC behavior) -> Gorilla on the interleaved stream
+(GorillaModelType appends all N values per timestamp into one XOR
+stream) -> raw fallback. Swing is per-series-only in this engine: a
+shared line across members with structurally different levels
+essentially never verifies, so the candidate would only burn fit time
+(the reference does offer group Swing; documented trade-off).
+Selection uses the reference fold and ratio formula INCLUDING the
+4-bytes-per-gap-entry term (ModelType.java:49-54).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
+from modelardb_spark.models import MTID_PMC, MTID_RAW
+from modelardb_spark.models.cascade import MTID_GORILLA, _ratio
+from modelardb_spark.models.gorilla import gorilla_compress, gorilla_decompress
+from modelardb_spark.models.pmc_mean import pmc_model, pmc_prefix, pmc_value
+from modelardb_spark.models.uncompressed import raw_decode, raw_model
+from modelardb_spark.operators.rollup import ROLLUP_SCHEMA, _analytic_partials
+
+GROUP_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("start_ms", LongType(), False),
+        StructField("end_ms", LongType(), False),
+        StructField("interval_ms", LongType(), False),
+        StructField("mtid", IntegerType(), False),
+        StructField("model", BinaryType(), False),
+        # total stored values = timestamps x group_size
+        StructField("n", LongType(), False),
+        StructField("group_size", IntegerType(), False),
+        # present member tids in storage (interleave) order
+        StructField("tids", ArrayType(IntegerType(), False), False),
+        # ABSENT member tids — the reference's gaps-as-offsets protocol
+        StructField("gaps", ArrayType(IntegerType(), False), False),
+        # per-present-tid closed-form aggregates, in `tids` order
+        StructField("seg_cnt", ArrayType(LongType(), False), False),
+        StructField("seg_min", ArrayType(FloatType(), False), False),
+        StructField("seg_max", ArrayType(FloatType(), False), False),
+        StructField("seg_sum", ArrayType(DoubleType(), False), False),
+        StructField("p0", DoubleType(), True),
+        StructField("p1", DoubleType(), True),
+    ]
+)
+
+_GCOLS = [f.name for f in GROUP_SEGMENT_SCHEMA.fields]
+
+
+def _fit_group_run(
+    conv: str,
+    ts: np.ndarray,
+    vals2d: np.ndarray,
+    tids: list[int],
+    all_tids: list[int],
+    error_bound: float,
+    length_bound: int,
+    interval_ms: int,
+    out: dict[str, list],
+) -> None:
+    """Cascade over one gap-free run of a fixed active-member set.
+
+    `vals2d` is (T, N) float32 for the present members only;
+    `tids`/`all_tids` give present members / the full group."""
+    n_ts, n_mem = vals2d.shape
+    inter = np.ascontiguousarray(vals2d).reshape(-1)  # row-major interleave
+    gaps = [t for t in all_tids if t not in tids]
+    gap_bytes = 4.0 * len(gaps)
+    # length_bound counts stored VALUES (data points incl. every member,
+    # like the reference's per-DataPoint accounting), floored to whole
+    # timestamps so a segment always covers full grid rows
+    max_vals = max(n_mem, (length_bound // n_mem) * n_mem)
+
+    pos = 0  # timestamp index
+    while pos < n_ts:
+        rest = inter[pos * n_mem :]
+        # PMC: shared constant within bound of every member value
+        p = pmc_prefix(rest, error_bound)
+        p_n = (p // n_mem) * n_mem
+        pmc_ratio = (
+            _ratio(p_n, 4.0 + gap_bytes) if p_n >= n_mem else float("nan")
+        )
+        # Gorilla over the interleaved stream
+        g_n = min(rest.size, max_vals)
+        g_bytes = gorilla_compress(rest[:g_n])
+        gor_ratio = _ratio(g_n, float(len(g_bytes)) + gap_bytes)
+
+        # reference fold (SegmentGenerator.java:230-233): NaN < x false
+        candidates = [(MTID_PMC, p_n, pmc_ratio), (MTID_GORILLA, g_n, gor_ratio)]
+        best = candidates[0]
+        for cand in candidates:
+            if not (cand[2] < best[2]):
+                best = cand
+        mtid, length, ratio = best
+        if not (ratio == ratio) or length == 0:
+            length = min(rest.size, max_vals)
+            mtid = MTID_RAW
+
+        seg_ts = length // n_mem
+        block = rest[:length].reshape(seg_ts, n_mem)
+        if mtid == MTID_PMC:
+            model = pmc_model(rest, length)
+            const = np.float32(pmc_value(model))
+            p0 = float(const)
+            # aggregates describe the RECONSTRUCTION (constant)
+            mins = np.full(n_mem, const, dtype=np.float32)
+            maxs = mins
+            sums = np.full(n_mem, float(const) * seg_ts, dtype=np.float64)
+        else:
+            model = g_bytes if mtid == MTID_GORILLA else raw_model(rest, length)
+            p0 = float("nan")
+            mins = block.min(axis=0)
+            maxs = block.max(axis=0)
+            sums = block.sum(axis=0, dtype=np.float64)
+
+        out["conv_id"].append(conv)
+        out["start_ms"].append(int(ts[pos]))
+        out["end_ms"].append(int(ts[pos + seg_ts - 1]))
+        out["interval_ms"].append(interval_ms)
+        out["mtid"].append(mtid)
+        out["model"].append(model)
+        out["n"].append(length)
+        out["group_size"].append(n_mem)
+        out["tids"].append(list(tids))
+        out["gaps"].append(gaps)
+        out["seg_cnt"].append([seg_ts] * n_mem)
+        out["seg_min"].append([float(x) for x in mins])
+        out["seg_max"].append([float(x) for x in maxs])
+        out["seg_sum"].append([float(x) for x in sums])
+        out["p0"].append(p0)
+        out["p1"].append(float("nan"))
+        pos += seg_ts
+
+
+def _fit_group_batches(
+    metrics: tuple[str, ...], error_bound: float, length_bound: int, interval_ms: int
+):
+    def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+        conv = pdf["conv_id"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        ts = pdf["bin_ms"].to_numpy().astype(np.int64)
+        vals = np.column_stack(
+            [pdf[m].to_numpy().astype(np.float32) for m in metrics]
+        )
+        active = ~np.isnan(vals)  # (rows, M)
+        n = len(pdf)
+        if n == 0:
+            return
+        brk = np.zeros(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (
+                (conv[1:] != conv[:-1])
+                | (salt[1:] != salt[:-1])
+                | ((ts[1:] - ts[:-1]) > interval_ms)
+                | (active[1:] != active[:-1]).any(axis=1)
+            )
+        bounds = np.concatenate(([0], np.flatnonzero(brk), [n]))
+        bounds = np.unique(bounds)
+        all_tids = list(range(len(metrics)))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            tids = [int(j) for j in np.flatnonzero(active[s])]
+            if not tids:
+                continue
+            _fit_group_run(
+                conv[s],
+                ts[s:e],
+                vals[s:e][:, tids],
+                tids,
+                all_tids,
+                error_bound,
+                length_bound,
+                interval_ms,
+                out,
+            )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {c: [] for c in _GCOLS}
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            conv = pdf["conv_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            key_change = np.zeros(len(pdf), dtype=bool)
+            if len(pdf) > 1:
+                key_change[1:] = (conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1])
+            boundaries = np.flatnonzero(key_change)
+            if boundaries.size == 0:
+                carry = pdf
+                continue
+            cut = boundaries[-1]
+            carry = pdf.iloc[cut:]
+            process(pdf.iloc[:cut], out)
+            if out["n"]:
+                yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+                out = {c: [] for c in _GCOLS}
+        if carry is not None and len(carry):
+            process(carry, out)
+        if out["n"]:
+            yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+
+    return run
+
+
+def fit_segments_grouped(
+    wide_series: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+) -> DataFrame:
+    """Wide series (one row per active bin, one column per metric) ->
+    GROUP segments. Same single-shuffle physical shape as
+    fit_segments_wide: repartition by (conv, salt), sort within
+    partitions, fit in sorted Arrow batches."""
+    salt_ms = cfg.salt_days * 86_400_000
+    keyed = wide_series.withColumn(
+        "salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long")
+    )
+    num = cfg.shuffle_partitions or int(
+        wide_series.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arranged = keyed.repartition(num, "conv_id", "salt").sortWithinPartitions(
+        "conv_id", "salt", "bin_ms"
+    )
+    return arranged.mapInPandas(
+        _fit_group_batches(
+            metrics, cfg.error_bound, cfg.length_bound, cfg.interval_ms
+        ),
+        GROUP_SEGMENT_SCHEMA,
+    )
+
+
+def explode_group_segments(
+    gseg: DataFrame, metrics: tuple[str, ...] = ("turn_rate", "tool_usage")
+) -> DataFrame:
+    """Group segment -> one logical segment per present tid
+    (SegmentGroup.explode:51-111): the member keeps the shared
+    (start, end, mtid, model) plus (goff, gsize) so the decoder strides
+    the interleaved payload. Pure JVM (posexplode + element_at)."""
+    metric_arr = F.array(*[F.lit(m) for m in metrics])
+    e = gseg.select(
+        "conv_id",
+        "start_ms",
+        "end_ms",
+        "interval_ms",
+        "mtid",
+        "model",
+        "group_size",
+        "p0",
+        "p1",
+        F.posexplode("tids").alias("goff", "tid"),
+        "seg_cnt",
+        "seg_min",
+        "seg_max",
+        "seg_sum",
+    )
+    return e.select(
+        "conv_id",
+        F.element_at(metric_arr, F.col("tid") + 1).alias("metric"),
+        "start_ms",
+        "end_ms",
+        "interval_ms",
+        "mtid",
+        "model",
+        F.element_at("seg_cnt", F.col("goff") + 1).alias("seg_cnt"),
+        F.element_at("seg_min", F.col("goff") + 1).alias("seg_min"),
+        F.element_at("seg_max", F.col("goff") + 1).alias("seg_max"),
+        F.element_at("seg_sum", F.col("goff") + 1).alias("seg_sum"),
+        "p0",
+        "p1",
+        "goff",
+        F.col("group_size").alias("gsize"),
+    )
+
+
+def decode_group_values(
+    mtid: int,
+    model: bytes,
+    n_ts: int,
+    gsize: int,
+    goff: int,
+) -> np.ndarray:
+    """Member values of a group segment: decode the interleaved payload
+    and stride by (goff, gsize). PMC is the shared constant."""
+    if mtid == MTID_PMC:
+        return np.full(n_ts, pmc_value(model), dtype=np.float32)
+    total = n_ts * gsize
+    if mtid == MTID_GORILLA:
+        return gorilla_decompress(model, total)[goff::gsize]
+    if mtid == MTID_RAW:
+        return raw_decode(model)[:total][goff::gsize]
+    raise ValueError(f"unsupported group mtid {mtid}")
+
+
+_POINT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("metric", StringType(), False),
+        StructField("bin_ms", LongType(), False),
+        StructField("value", FloatType(), False),
+    ]
+)
+
+
+def grid_group(
+    gseg: DataFrame, metrics: tuple[str, ...] = ("turn_rate", "tool_usage")
+) -> DataFrame:
+    """Group segments -> reconstructed per-series points. PMC members
+    take the JVM explode path (value = p0 column expression); dense
+    members decode vectorized with the group stride."""
+    exploded = explode_group_segments(gseg, metrics)
+    analytic = exploded.where(F.col("mtid") == MTID_PMC)
+    analytic_points = analytic.select(
+        "conv_id",
+        "metric",
+        F.explode(
+            F.sequence(F.col("start_ms"), F.col("end_ms"), F.col("interval_ms"))
+        ).alias("bin_ms"),
+        F.col("p0").cast("float").alias("value"),
+    ).select("conv_id", "metric", "bin_ms", "value")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            convs, mets, tss, vs = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                n_ts = int((row.end_ms - row.start_ms) // row.interval_ms) + 1
+                vals = decode_group_values(
+                    row.mtid, row.model, n_ts, row.gsize, row.goff
+                )
+                convs.append(np.repeat(row.conv_id, n_ts))
+                mets.append(np.repeat(row.metric, n_ts))
+                tss.append(
+                    row.start_ms + row.interval_ms * np.arange(n_ts, dtype=np.int64)
+                )
+                vs.append(vals)
+            if vs:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": np.concatenate(convs),
+                        "metric": np.concatenate(mets),
+                        "bin_ms": np.concatenate(tss),
+                        "value": np.concatenate(vs),
+                    }
+                )
+
+    dense = exploded.where(F.col("mtid") != MTID_PMC).select(
+        "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
+        "mtid", "model", "goff", "gsize",
+    )
+    return analytic_points.unionByName(dense.mapInPandas(decode, _POINT_SCHEMA))
+
+
+def rollup_from_group_segments(
+    gseg: DataFrame,
+    window_ms: int,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+) -> DataFrame:
+    """Windowed rollup straight from group segments: PMC members use
+    the closed-form splitting partials (pure JVM, shared with the
+    per-series path); dense members decode once with the group stride
+    and reduce per window (NumPy reduceat)."""
+    exploded = explode_group_segments(gseg, metrics)
+    analytic = _analytic_partials(
+        exploded.where(F.col("mtid") == MTID_PMC), window_ms
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "metric", "window_ms", "cnt", "vmin", "vmax", "vsum"]
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for row in pdf.itertuples(index=False):
+                n_ts = int((row.end_ms - row.start_ms) // row.interval_ms) + 1
+                vals = decode_group_values(
+                    row.mtid, row.model, n_ts, row.gsize, row.goff
+                )
+                ts = row.start_ms + row.interval_ms * np.arange(n_ts, dtype=np.int64)
+                wins = (ts // window_ms) * window_ms
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(wins)) + 1)
+                )
+                rows["conv_id"].append(np.repeat(row.conv_id, starts.size))
+                rows["metric"].append(np.repeat(row.metric, starts.size))
+                rows["window_ms"].append(wins[starts])
+                counts = np.diff(np.concatenate((starts, [n_ts])))
+                rows["cnt"].append(counts.astype(np.int64))
+                rows["vmin"].append(np.minimum.reduceat(vals, starts))
+                rows["vmax"].append(np.maximum.reduceat(vals, starts))
+                rows["vsum"].append(np.add.reduceat(vals.astype(np.float64), starts))
+            if rows["cnt"]:
+                yield pd.DataFrame({c: np.concatenate(rows[c]) for c in cols})
+
+    dense = exploded.where(F.col("mtid") != MTID_PMC).select(
+        "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
+        "mtid", "model", "goff", "gsize",
+    )
+    partials = analytic.unionByName(dense.mapInPandas(run, ROLLUP_SCHEMA))
+    return (
+        partials.groupBy("conv_id", "metric", "window_ms")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
+    )
+
+
+def group_compression_stats(gseg: DataFrame) -> DataFrame:
+    """Per-conversation compression accounting for the GROUP path,
+    using the reference ratio INCLUDING the gap-entry term
+    (ModelType.java:49-54): 16 bytes/point raw vs 24-byte metadata +
+    payload + 4 bytes per stored gap entry."""
+    per_seg = gseg.select(
+        "conv_id",
+        F.col("n"),
+        (
+            F.lit(24) + F.length("model") + F.size("gaps") * F.lit(4)
+        ).alias("stored_bytes"),
+    )
+    return per_seg.groupBy("conv_id").agg(
+        F.count("*").alias("segments"),
+        F.sum("n").alias("points"),
+        F.sum("stored_bytes").alias("stored_bytes"),
+        F.round((16.0 * F.sum("n")) / F.sum("stored_bytes"), 6).alias(
+            "compression_ratio"
+        ),
+    )

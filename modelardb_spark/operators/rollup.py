@@ -219,8 +219,10 @@ CALENDAR_FIELDS = {
     "day_of_month": "dayofmonth(ts)",
     "day_of_week": "dayofweek(ts)",
     "am_pm": "CASE WHEN hour(ts) < 12 THEN 0 ELSE 1 END",
+    "hour": "hour(ts) % 12",  # 12-hour clock (Calendar.HOUR, field 10)
     "hour_of_day": "hour(ts)",
     "minute": "minute(ts)",
+    "second": "second(ts)",  # Calendar.SECOND, field 13
 }
 
 

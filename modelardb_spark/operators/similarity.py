@@ -3,13 +3,16 @@
 - `cosine_topk`: brute-force exact top-k — the correctness baseline.
   The dot product is a JVM-side `aggregate(zip_with(...))` fold (no
   Python); the self-join broadcasts the (small) query side.
-- `lsh_buckets` / `lsh_topk`: the scale path — random-hyperplane LSH:
-  each vector is reduced to a B-bit sign signature; candidates share a
-  signature bucket, so the join is a key join with O(n) shuffle volume
-  instead of an O(n^2) cross product. Hyperplanes are generated
-  deterministically from a seed via md5 folding, so the oracle can
-  reproduce them.
-- `embedding_near_dup`: threshold variant for near-duplicate removal.
+- `lsh_buckets` / `lsh_buckets_multi` / `lsh_topk`: the scale path —
+  random-hyperplane LSH: each vector is reduced to a B-bit sign
+  signature; candidates share a signature bucket, so the join is a key
+  join with O(n) shuffle volume instead of an O(n^2) cross product.
+  Hyperplanes are generated deterministically from a seed via md5
+  folding, so the DuckDB oracle reproduces the buckets bit-exactly.
+- `embedding_near_dup`: LSH-bucketed near-duplicate pairs (multi-table
+  for recall, exact cosine verification on candidates only, no driver
+  collect); `embedding_near_dup_bruteforce` is the small-data exact
+  baseline kept for recall measurement.
 
 Norms and dots are computed in float64 from float32 inputs with a
 fixed left-to-right fold in both engines; outputs are rounded for
@@ -118,11 +121,13 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """All pairs with cosine >= threshold (vec_a < vec_b). Block
-    nested-loop with a broadcast full matrix (fine while one side fits
-    in executor memory; beyond that, switch to lsh_buckets and join on
-    the bucket key)."""
+def embedding_near_dup_bruteforce(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine >= threshold (vec_a < vec_b), EXACT —
+    collects the full table to the driver and broadcasts it for a block
+    nested-loop compare. O(n) driver memory + O(n^2) compute: this is
+    the small-data ORACLE BASELINE for recall measurement only (see
+    tests/test_traindata_ops.py); the production path is
+    `embedding_near_dup` (LSH-bucketed, collect-free)."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     ids, m, norms = _query_matrix(emb)
@@ -157,10 +162,17 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     return emb.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Seed for LSH table `table` (table 0 == the base seed, so a
+    single-table setup is backward compatible)."""
+    return seed + 7919 * table
+
+
 def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (i, j) is a
     signed value derived from md5(f"{seed}:{i}:{j}") — reproducible in
-    any engine without an RNG."""
+    any engine without an RNG (the DuckDB oracle inlines the same
+    values as literals)."""
     planes = []
     for i in range(bits):
         row = []
@@ -172,11 +184,11 @@ def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_buckets(emb: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
-    """(vec_id, bucket): sign-of-projection signature. The plane matrix
-    is a broadcast literal; projection is a JVM fold per plane."""
-    dim = len(emb.select("embedding").first()[0])
-    planes = hyperplanes(dim, bits, seed)
+def _bucket_expr(planes: list[list[float]]):
+    """Sign-of-projection signature as a pure JVM column expression:
+    one left-to-right `aggregate(zip_with(...))` fold per plane (same
+    evaluation order as the oracle's list_sum), inside whole-stage
+    codegen — no Python in the signature path."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = F.aggregate(
@@ -189,43 +201,164 @@ def lsh_buckets(emb: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return emb.select("vec_id", sig.alias("bucket"))
+    return sig
+
+
+def lsh_buckets(emb: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
+    """(vec_id, bucket): single-table sign-of-projection signature."""
+    dim = len(emb.select("embedding").first()[0])
+    return emb.select(
+        "vec_id", _bucket_expr(hyperplanes(dim, bits, seed)).alias("bucket")
+    )
+
+
+def lsh_buckets_multi(
+    emb: DataFrame, bits: int = 8, tables: int = 8, seed: int = 42
+) -> DataFrame:
+    """(vec_id, tbl, bucket): multi-table LSH — `tables` independent
+    signatures per vector, computed in ONE map-only projection and
+    exploded. Multi-table is the recall lever: a near pair only needs
+    to collide in one table."""
+    dim = len(emb.select("embedding").first()[0])
+    cols = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _bucket_expr(hyperplanes(dim, bits, table_seed(seed, t))).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    return emb.select("vec_id", F.explode(F.array(*cols)).alias("tb")).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs, LSH-bucketed (the scale path — replaces
+    the round-1 driver-collect version): pairs are candidates iff they
+    share a bucket in >= 1 of `tables` LSH tables; candidates are then
+    verified with the exact cosine and kept when >= threshold.
+
+    Scale shape: signatures are a map-only projection; the candidate
+    self-join is keyed on (tbl, bucket) so shuffle volume is
+    O(vectors x tables) + O(candidates), never O(n^2); the verify
+    join ships embeddings only for candidate ids. No driver collect of
+    the vector table anywhere. Recall is tuned with (bits, tables) —
+    see tests/test_traindata_ops.py::test_lsh_near_dup_recall for the
+    planted-near-dup recall measurement against the brute-force
+    baseline."""
+    sigs = lsh_buckets_multi(emb, bits, tables, seed)
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    base = with_norm(emb)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    scored = (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+            .alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
 
 
 def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8, seed: int = 42) -> DataFrame:
-    """Approximate top-k: exact ranking *within* each LSH bucket. The
-    pair join is keyed on the bucket, so shuffle volume stays linear;
-    recall is tuned with `bits` (fewer bits -> bigger buckets)."""
-    from pyspark.sql import Window
+    """Approximate top-k: exact ranking *within* each LSH bucket (each
+    vector lives in exactly one bucket, so bucket-local rank == final
+    rank).
+
+    In-bucket scoring is a NumPy/BLAS block matmul per bucket group
+    (applyInPandas keyed on the bucket) — O(|bucket|^2) FLOPs but only
+    O(|bucket| x k) rows ever leave the task, versus the all-pairs
+    self-join + per-pair SQL folds this replaces (which shuffled
+    O(sum |bucket|^2) rows). Query rows are processed in fixed-size
+    blocks so a hot bucket is bounded in memory by
+    O(block x |bucket|) floats."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("rank", IntegerType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    block_rows = 4096
+
+    def score(pdf):
+        import pandas as pd
+
+        nid = pdf["vec_id"].to_numpy().astype(np.int64)
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        kk = min(k, nid.size - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+            ).astype(
+                {"query_id": np.int64, "neighbor_id": np.int64,
+                 "rank": np.int32, "cosine": np.float64}
+            )
+        outs = []
+        for lo in range(0, nid.size, block_rows):
+            hi = min(lo + block_rows, nid.size)
+            sims = (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms)
+            sims[np.equal.outer(nid[lo:hi], nid)] = -np.inf  # exclude self
+            sims = np.round(sims, 6)
+            order = np.lexsort(
+                (nid[None, :].repeat(hi - lo, 0), -sims), axis=1
+            )[:, :kk]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(nid[lo:hi], kk),
+                        "neighbor_id": nid[order].ravel(),
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), hi - lo
+                        ),
+                        "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     buckets = lsh_buckets(emb, bits, seed)
-    base = with_norm(emb).join(buckets, "vec_id")
-    a = base.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("eq"),
-        F.col("norm").alias("nq"),
-    )
-    b = base.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("en"),
-        F.col("norm").alias("nn"),
-    )
-    scored = (
-        a.join(b, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    base = emb.select("vec_id", "embedding").join(buckets, "vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        base.groupBy("bucket")
+        .applyInPandas(lambda key, pdf: score(pdf), out_schema)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -6,10 +6,11 @@ thread per ingestor running the SegmentGenerator loop
 and reconciles "temporary" vs finalized segments in an IndexedRDD
 cache (SparkCache.scala:27-213). The Spark-native replacement is
 Structured Streaming + `foreachBatch`: every micro-batch runs the same
-batch operators (derive -> fit -> append), and snapshot-visible
-appends replace the temporary-segment machinery entirely — readers
-simply see data up to the last committed batch (the reference's
-`maximum_latency` knob maps to the stream trigger interval).
+batch operators (derive -> fit -> write), and snapshot-visible
+batch-keyed writes replace the temporary-segment machinery entirely —
+readers simply see data up to the last committed batch (the
+reference's `maximum_latency` knob maps to the stream trigger
+interval).
 
 Contract: micro-batches must be bin-aligned per conversation — a
 1-minute bin's turns must not span two batches, or its count would be
@@ -40,15 +41,23 @@ def stream_ingest(
 ):
     """Incrementally ingest transcript parquet drops from `input_path`
     into the segments table at `out_root`. Returns the streaming query
-    (awaitTermination is the caller's choice). Exactly-once per batch
-    via the Structured Streaming checkpoint + idempotent appends."""
+    (awaitTermination is the caller's choice).
+
+    Exactly-once per batch: foreachBatch is at-least-once, so the write
+    is keyed on `batch_id` — each batch dynamically overwrites its own
+    (batch_id, part_day) partitions. A batch replayed after a crash
+    (the file-source checkpoint re-delivers the same files, so batch
+    content is deterministic) overwrites the partitions it wrote the
+    first time instead of appending duplicates."""
     catalog = TableCatalog(out_root)
 
     def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         segments = with_part_key(
             fit_segments(derive_series(batch_df, cfg), cfg), cfg.conv_buckets
-        )
-        catalog.append(segments, "segments", ["part_day"])
+        ).withColumn("batch_id", F.lit(batch_id))
+        catalog.overwrite_partitions(segments, "segments", ["batch_id", "part_day"])
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

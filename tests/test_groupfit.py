@@ -1,0 +1,153 @@
+"""Multi-series group compression tests: reconstruction equals the raw
+series exactly at bound 0, the gaps-as-absent-tids protocol matches the
+reference's explode semantics, and the group path measurably beats
+per-series compression on the transcripts workload."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.operators.fit import fit_segments_wide
+from modelardb_spark.operators.groupfit import (
+    explode_group_segments,
+    fit_segments_grouped,
+    grid_group,
+    group_compression_stats,
+    rollup_from_group_segments,
+)
+from modelardb_spark.operators.rollup import HOUR_MS, compression_stats
+from modelardb_spark.operators.series import derive_series_wide
+from modelardb_spark.operators.transcripts import transcripts_from_events
+
+CFG = EngineConfig(error_bound=0.0)
+METRICS = ("turn_rate", "tool_usage")
+
+
+@pytest.fixture(scope="module")
+def wide(spark, sf_small):
+    w = derive_series_wide(transcripts_from_events(spark, sf_small), CFG).cache()
+    w.count()
+    return w
+
+
+@pytest.fixture(scope="module")
+def gseg(spark, wide):
+    g = fit_segments_grouped(wide, CFG, METRICS).cache()
+    g.count()
+    return g
+
+
+def _narrow(wide):
+    rows = []
+    for m in METRICS:
+        rows.append(
+            wide.select(
+                "conv_id", F.lit(m).alias("metric"), "bin_ms",
+                F.col(m).alias("value"),
+            ).where(F.col(m).isNotNull())
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def test_group_grid_reconstructs_exactly(spark, wide, gseg):
+    want = sorted(
+        (r["conv_id"], r["metric"], r["bin_ms"], float(np.float32(r["value"])))
+        for r in _narrow(wide).collect()
+    )
+    got = sorted(
+        (r["conv_id"], r["metric"], r["bin_ms"], float(r["value"]))
+        for r in grid_group(gseg, METRICS).collect()
+    )
+    assert got == want
+
+
+def test_group_rollup_matches_raw(spark, wide, gseg):
+    raw = (
+        _narrow(wide)
+        .groupBy(
+            "conv_id",
+            "metric",
+            ((F.col("bin_ms") / HOUR_MS).cast("long") * HOUR_MS).alias("window_ms"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").cast("double").alias("vmin"),
+            F.max("value").cast("double").alias("vmax"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+        )
+    )
+    got = rollup_from_group_segments(gseg, HOUR_MS, METRICS)
+    a = {
+        (r["conv_id"], r["metric"], r["window_ms"]): (
+            r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 6),
+        )
+        for r in raw.collect()
+    }
+    b = {
+        (r["conv_id"], r["metric"], r["window_ms"]): (
+            r["cnt"], float(r["vmin"]), float(r["vmax"]), round(r["vsum"], 6),
+        )
+        for r in got.collect()
+    }
+    assert a == b
+
+
+def test_group_compression_beats_per_series(spark, wide, gseg):
+    per = fit_segments_wide(wide, CFG, METRICS)
+    per_bytes = compression_stats(per).agg(F.sum("stored_bytes")).first()[0]
+    grp_bytes = group_compression_stats(gseg).agg(F.sum("stored_bytes")).first()[0]
+    pts_per = compression_stats(per).agg(F.sum("points")).first()[0]
+    pts_grp = group_compression_stats(gseg).agg(F.sum("points")).first()[0]
+    assert pts_per == pts_grp  # same data points covered
+    # the headline: one metadata row for N series -> measurable win
+    assert grp_bytes < per_bytes * 0.75
+
+
+def test_gap_protocol_explode(spark):
+    """A member missing for a stretch must (a) split the run, (b) be
+    recorded in `gaps` (absent-tid protocol, SegmentGroup.java:51-111),
+    and (c) be absent from the exploded output for that span."""
+    bins = [60_000 * i for i in range(10)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 10,
+            "bin_ms": bins,
+            "turn_rate": [2.0] * 10,
+            # tool_usage in a gap for bins 3..6
+            "tool_usage": [1.0, 1.0, 1.0, None, None, None, None, 1.0, 1.0, 1.0],
+        }
+    )
+    wide = spark.createDataFrame(pdf)
+    gseg = fit_segments_grouped(wide, CFG, METRICS).cache()
+    rows = gseg.collect()
+    # runs: [0..2] both, [3..6] turn_rate only, [7..9] both
+    gapped = [r for r in rows if r["gaps"]]
+    assert gapped and all(r["gaps"] == [1] for r in gapped)
+    assert all(r["group_size"] == 1 and r["tids"] == [0] for r in gapped)
+    full = [r for r in rows if not r["gaps"]]
+    assert full and all(r["group_size"] == 2 and r["tids"] == [0, 1] for r in full)
+
+    pts = grid_group(gseg, METRICS)
+    tool_bins = sorted(
+        r["bin_ms"] for r in pts.where("metric = 'tool_usage'").collect()
+    )
+    assert tool_bins == [60_000 * i for i in (0, 1, 2, 7, 8, 9)]
+    turn_bins = sorted(
+        r["bin_ms"] for r in pts.where("metric = 'turn_rate'").collect()
+    )
+    assert turn_bins == bins
+    # segment aggregates survive the explode per member
+    segs = explode_group_segments(gseg, METRICS)
+    agg = {
+        (r["metric"],): r
+        for r in segs.groupBy("metric").agg(F.sum("seg_cnt").alias("c")).collect()
+    }
+    assert agg[("turn_rate",)]["c"] == 10
+    assert agg[("tool_usage",)]["c"] == 6

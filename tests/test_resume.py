@@ -75,6 +75,34 @@ def test_resume_after_injected_failure(spark, transcripts, tmp_path):
     assert all(r["rows_out"] > 0 for r in rows)
 
 
+def test_staged_input_prunes_partitions(spark, transcripts, tmp_path):
+    """Chunk reads must hit only the chunk's staged partition dirs —
+    O(1) passes over the input, not O(#chunks) full rescans."""
+    root = str(tmp_path / "staged")
+    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="s1", chunk_days=2)
+    catalog = TableCatalog(root)
+    days = [int(d) for d in catalog.list_partitions("staged_transcripts", "part_day")]
+    assert len(days) > 2
+    staged = catalog.read(spark, "staged_transcripts")
+    one = staged.where(F.col("part_day") == days[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition-column filter shows up as a PartitionFilter (directory
+    # pruning), not a post-scan data filter; the pruned scan reads only
+    # this day's files
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "part_day" in pf and f"= {days[0]}" in pf
+
+
+def test_ingest_rejects_multi_day_salt(spark, transcripts, tmp_path):
+    """salt_days != 1 breaks the per-day resume unit — must refuse."""
+    with pytest.raises(ValueError, match="salt_days"):
+        ingest(
+            spark, transcripts, str(tmp_path / "bad"),
+            EngineConfig(salt_days=2), snapshot_id="s1",
+        )
+
+
 def test_new_snapshot_recomputes(spark, transcripts, tmp_path):
     root = str(tmp_path / "snap")
     ingest(spark, transcripts, root, EngineConfig(), snapshot_id="a", chunk_days=64)

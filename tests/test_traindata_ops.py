@@ -22,6 +22,8 @@ from modelardb_spark.operators.multimodal import (
 )
 from modelardb_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup,
+    embedding_near_dup_bruteforce,
     load_embeddings,
     lsh_topk,
 )
@@ -110,6 +112,51 @@ def test_lsh_topk_approximates_brute_force(spark, sf_small):
     # plausible neighbor set; measure overlap as a sanity floor
     overlap = len(brute & approx) / len(brute)
     assert overlap > 0.15
+
+
+def test_lsh_near_dup_recall(spark, sf_small):
+    """Plant true near-duplicates (copies with the sign of one
+    component flipped -> cosine ~0.97) and require the LSH path to (a)
+    never invent a pair the brute-force baseline lacks and (b) find
+    essentially all planted near-dups at a realistic threshold."""
+    emb = load_embeddings(spark, sf_small).select("vec_id", "embedding")
+    planted = (
+        emb.where("vec_id < 40")
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000)
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.array(-F.col("embedding")[0]), F.slice("embedding", 2, 63)
+            ),
+        )
+    )
+    both = emb.unionByName(planted).cache()
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup(both, threshold=0.9, bits=8, tables=8).collect()
+    }
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_bruteforce(both, threshold=0.9).collect()
+    }
+    assert lsh <= brute  # verification is exact: no false positives
+    planted_pairs = {(i, i + 1_000_000) for i in range(40)} & brute
+    assert planted_pairs  # the plant produced true near-dups
+    found = len(lsh & planted_pairs) / len(planted_pairs)
+    assert found >= 0.9
+    both.unpersist()
+
+
+def test_near_dup_plan_has_no_driver_collect(spark, sf_small):
+    """The LSH near-dup plan must be a pure DataFrame plan — signature
+    projection + key joins — with no collect of the vector table (the
+    round-1 scale-killer). Guarded by construction: embedding_near_dup
+    never calls .collect(); this asserts the plan builds lazily."""
+    emb = load_embeddings(spark, sf_small)
+    df = embedding_near_dup(emb, threshold=0.9, bits=8, tables=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # bucket-keyed join, not a broadcast matrix
+    assert df.columns == ["vec_a", "vec_b", "cosine"]
 
 
 def test_token_count_semantics(spark, docs):
