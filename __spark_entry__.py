@@ -12,6 +12,13 @@ identical, which validates the whole compression/reconstruction path.
 
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
+
+Coverage (round 2): 39 queries — 36 with exact DuckDB oracles, 3
+rows-only (rollup_1h_lossy: lossy results are engine-defined, but its
+bound is hard-checked by the oracled lossy_bound_violations empty-set
+query; compression_stats / group_compression_stats: no segments table
+exists on the oracle side — the group-vs-per-series win is asserted in
+tests/test_groupfit.py).
 """
 
 from __future__ import annotations
@@ -324,6 +331,23 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     seed=_LSH_SEED)
 
 
+#: IVF parameters shared by the Spark query and its SQL oracle
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic centroid seed
+    (md5-ordered corpus vectors standing in for offline k-means),
+    cell-keyed candidate join, exact ranking within probed cells."""
+    from modelardb_spark.operators.similarity import ivf_topk, load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.multimodal import extract_features, synthetic_media
     from modelardb_spark.operators.textstats import load_documents
@@ -444,6 +468,20 @@ def _q_derived_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("conv_id", "metric", "bin_ms", "value")
 
 
+def _q_scaled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series scaling metadata applied at read time (the
+    reference's time_series table + scaling-factor cache,
+    TimeSeriesCSV.java:194, JDBCStorage.scala:47-52): a broadcast-
+    joined metadata row per series supplies the factor."""
+    from modelardb_spark.operators.transform import (
+        scale_series_per_tid,
+        time_series_metadata,
+    )
+
+    s = _series(spark, sf_dir)
+    return scale_series_per_tid(s, time_series_metadata(s))
+
+
 def _q_rollup_1h_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy pipeline (5% error bound): rows-only driver check; the
     within-bound guarantee is asserted by
@@ -494,6 +532,22 @@ def _q_group_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_adaptive_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-routed fit (Partitioner.java:95-124 group formation,
+    Correlation.java clauses): correlated conversations compress as
+    groups, uncorrelated ones per series; the 1h tier unions both
+    paths and must still equal the raw rollup exactly at bound 0."""
+    from modelardb_spark.operators.groupfit import (
+        fit_segments_adaptive,
+        rollup_adaptive,
+    )
+    from modelardb_spark.operators.series import derive_series_wide
+
+    wide = derive_series_wide(transcripts_from_events(spark, sf_dir), CFG)
+    g, p = fit_segments_adaptive(wide, CFG)
+    return _std_rollup(rollup_adaptive(g, p, HOUR_MS))
+
+
 def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression accounting for the group path (rows-only check; the
     group-vs-per-series win is asserted in
@@ -501,6 +555,58 @@ def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.groupfit import group_compression_stats
 
     return group_compression_stats(_gsegments(spark, sf_dir))
+
+
+#: minute-aligned restriction window for the SQL-surface queries
+_SQL_LO, _SQL_HI = 1_704_672_000_000, 1_705_276_740_000
+
+
+def _q_sql_surface_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-style SQL runs VERBATIM: the *_S aggregate functions
+    (SparkUDAF.scala:346-352) registered on the session, computing from
+    the model column over the `segments` view."""
+    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+    from modelardb_spark.operators.views import register_views
+
+    register_views(spark, _segments(spark, sf_dir))
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT conv_id, metric,
+               COUNT_S(start_ms, end_ms, interval_ms) AS cnt,
+               MIN_S(mtid, model, start_ms, end_ms, interval_ms) AS vmin,
+               MAX_S(mtid, model, start_ms, end_ms, interval_ms) AS vmax,
+               SUM_S(mtid, model, start_ms, end_ms, interval_ms) AS vsum,
+               AVG_S(mtid, model, start_ms, end_ms, interval_ms) AS mean
+        FROM segments
+        GROUP BY conv_id, metric
+        """
+    )
+
+
+def _q_sql_surface_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """START_END restriction + COUNT_S as verbatim SQL
+    (SparkUDAF.scala:396-426, Segment.java:73-95): segment bounds are
+    tightened to the window by a registered pure-SQL function, then
+    COUNT_S counts grid points in the restricted bounds."""
+    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+    from modelardb_spark.operators.views import register_views
+
+    register_views(spark, _segments(spark, sf_dir))
+    register_sql_functions(spark)
+    return spark.sql(
+        f"""
+        SELECT conv_id, metric, COUNT_S(se.s, se.e, interval_ms) AS cnt
+        FROM (
+          SELECT conv_id, metric, interval_ms,
+                 START_END(start_ms, end_ms, interval_ms,
+                           {_SQL_LO}, {_SQL_HI}) AS se
+          FROM segments
+          WHERE end_ms >= {_SQL_LO} AND start_ms <= {_SQL_HI}
+        )
+        GROUP BY conv_id, metric
+        """
+    )
 
 
 def _q_dim_filtered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,12 +936,16 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lossy_bound_violations": _q_lossy_bound_violations,
         "windowed_rollup": _q_windowed_rollup,
         "derived_series": _q_derived_series,
+        "scaled_series": _q_scaled_series,
         "rollup_1h_lossy": _q_rollup_1h_lossy,  # rows-only (lossy)
         "compression_stats": _q_compression_stats,  # rows-only
         "dim_filtered_rollup": _q_dim_filtered_rollup,
+        "sql_surface_agg": _q_sql_surface_agg,
+        "sql_surface_restrict": _q_sql_surface_restrict,
         # multi-series group compression
         "group_rollup_1h": _q_group_rollup_1h,
         "group_data_points": _q_group_data_points,
+        "adaptive_rollup_1h": _q_adaptive_rollup_1h,
         "group_compression_stats": _q_group_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
@@ -849,6 +959,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_topk": _q_embedding_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -888,6 +999,31 @@ WHERE n.next_ms IS NOT NULL
         "rollup_1h": _sql_raw_rollup(HOUR_MS),
         "rollup_1d": _sql_raw_rollup(DAY_MS),
         "group_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "adaptive_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "sql_surface_agg": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, metric,
+       COUNT(*) AS cnt,
+       CAST(MIN(value) AS DOUBLE) AS vmin,
+       CAST(MAX(value) AS DOUBLE) AS vmax,
+       SUM(CAST(value AS DOUBLE)) AS vsum,
+       SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
+FROM series
+GROUP BY 1, 2
+"""
+        ),
+        "sql_surface_restrict": (
+            "WITH "
+            + _SQL_SERIES
+            + f"""
+SELECT conv_id, metric, COUNT(*) AS cnt
+FROM series
+WHERE bin_ms >= {_SQL_LO} AND bin_ms <= {_SQL_HI}
+GROUP BY 1, 2
+"""
+        ),
         "dim_filtered_rollup": (
             "WITH "
             + _SQL_SERIES
@@ -1039,6 +1175,18 @@ SELECT conv_id, 'turn_rate_x10' AS metric, bin_ms,
 FROM series WHERE metric = 'turn_rate'
 """
         ),
+        "scaled_series": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT ('0x' || substr(md5(conv_id || ':' || metric), 1, 15))::BIGINT AS tid,
+       conv_id, metric, bin_ms,
+       CAST(CAST(value AS DOUBLE)
+            * (1.0 + (('0x' || substr(md5(conv_id || ':' || metric), 16, 1))::BIGINT
+                      % 3) * 0.25) AS FLOAT) AS value
+FROM series
+"""
+        ),
         "token_count": """
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1122,6 +1270,52 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs
 ) WHERE rank <= {_TOPK_K}
+"""
+        ),
+        "ivf_topk": (
+            "WITH "
+            + _SQL_EMB_BASE
+            + f""",
+cents AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         embedding AS cemb,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnorm
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS})
+), scored_cells AS (
+  SELECT b.vec_id, c.cell,
+         round(list_sum(list_transform(list_zip(b.embedding, c.cemb),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (b.norm * c.cnorm), 6) AS csim
+  FROM base b CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+    FROM scored_cells WHERE vec_id < 20
+  ) WHERE rn <= {_IVF_PROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id != p.query_id
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id, {_SQL_COSINE} AS cosine
+  FROM cand c
+  JOIN base q ON q.vec_id = c.query_id
+  JOIN base n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= 5
 """
         ),
         "multimodal_features": """

@@ -43,10 +43,12 @@ MTID_GORILLA = 4
 _METADATA_BYTES = 24.0
 _RAW_BYTES_PER_POINT = 16.0
 
-#: cap on how far vectorized prefix searches look ahead in one pass;
-#: doubled until the model stops accepting, keeping the total work
-#: O(run_length) even when a single model covers a very long run
-_CHUNK = 4096
+#: initial window of the vectorized prefix searches; doubled until the
+#: model stops accepting, keeping total work O(run_length) for long
+#: covers while a SHORT segment (the common case: segments average
+#: 5-50 points) only ever scans one small window instead of a full
+#: 4096-value pass per cascade iteration
+_CHUNK = 128
 
 
 class FittedSegment(NamedTuple):

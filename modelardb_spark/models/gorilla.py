@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from modelardb_spark.models.bitbuffer import BitReader, BitWriter
 
 
 def _nlz32(x: int) -> int:
@@ -34,38 +33,53 @@ def _ntz32(x: int) -> int:
 
 
 def gorilla_compress(values: np.ndarray) -> bytes:
-    """Compress a float32 array to the gorilla bitstream."""
+    """Compress a float32 array to the gorilla bitstream.
+
+    Hot path of the fit cascade (called once per candidate segment):
+    XORs and leading/trailing-zero counts are precomputed vectorized
+    (bit lengths via exact float64 exponent extraction), and the
+    stream accumulates in ONE Python int with a single to_bytes at the
+    end — wire-identical to the original BitWriter loop."""
     bits = np.ascontiguousarray(values, dtype=np.float32).view(np.uint32)
-    w = BitWriter()
-    last = int(bits[0])
-    w.write_bits(last, 32)
+    n = bits.size
+    if n == 1:
+        return int(bits[0]).to_bytes(4, "big")
+    xor = (bits[1:] ^ bits[:-1]).astype(np.uint32)
+    # frexp exponent == bit_length for positive ints exactly
+    bitlen = np.frexp(xor.astype(np.float64))[1]
+    nlz = np.minimum(32 - bitlen, 31)  # reference clamp (:101-103)
+    low = (xor & (~xor + np.uint32(1))).astype(np.float64)
+    ntz = np.frexp(low)[1] - 1
+    xl = xor.tolist()
+    nlzl = nlz.tolist()
+    ntzl = ntz.tolist()
+
+    acc = int(bits[0])
+    nb = 32
     stored_leading = 0xFFFF  # sentinel: no window yet (Integer.MAX_VALUE)
     stored_trailing = 0
-    for cur in bits[1:]:
-        cur = int(cur)
-        xor = cur ^ last
-        if xor == 0:
-            w.write_bit(0)
+    for i in range(n - 1):
+        x = xl[i]
+        if x == 0:
+            acc <<= 1
+            nb += 1
+            continue
+        leading = nlzl[i]
+        trailing = ntzl[i]
+        if leading >= stored_leading and trailing >= stored_trailing:
+            sig = 32 - stored_leading - stored_trailing
+            acc = (acc << (2 + sig)) | (0b10 << sig) | (x >> stored_trailing)
+            nb += 2 + sig
         else:
-            leading = _nlz32(xor)
-            trailing = _ntz32(xor)
-            if leading >= 32:
-                leading = 31
-            w.write_bit(1)
-            if leading >= stored_leading and trailing >= stored_trailing:
-                w.write_bit(0)
-                significant = 32 - stored_leading - stored_trailing
-                w.write_bits(xor >> stored_trailing, significant)
-            else:
-                w.write_bit(1)
-                w.write_bits(leading, 5)
-                significant = 32 - leading - trailing
-                w.write_bits(significant, 6)
-                w.write_bits(xor >> trailing, significant)
-                stored_leading = leading
-                stored_trailing = trailing
-        last = cur
-    return w.to_bytes()
+            sig = 32 - leading - trailing
+            acc = (
+                ((acc << 13) | (0b11 << 11) | (leading << 6) | sig) << sig
+            ) | (x >> trailing)
+            nb += 13 + sig
+            stored_leading = leading
+            stored_trailing = trailing
+    pad = (-nb) % 8
+    return (acc << pad).to_bytes((nb + pad) // 8, "big")
 
 
 def gorilla_decompress(model: bytes, length: int) -> np.ndarray:
@@ -116,3 +130,93 @@ def gorilla_decompress(model: bytes, length: int) -> np.ndarray:
 def gorilla_size_bytes(values: np.ndarray) -> int:
     """Size in bytes of the compressed stream (for ratio selection)."""
     return len(gorilla_compress(values))
+
+
+def gorilla_decompress_matrix(
+    models: list[bytes], lengths: np.ndarray
+) -> np.ndarray:
+    """Decompress MANY streams in lockstep — the vectorized form of
+    `gorilla_decompress` for the dense grid/rollup paths. Returns an
+    (n_segments, max(lengths)) float32 matrix; row i is valid up to
+    lengths[i] (the tail is unspecified).
+
+    All segments of an Arrow batch advance one VALUE per iteration;
+    every bit-level operation (control bits, window headers, xor
+    payloads) is a NumPy gather over per-segment bit cursors, so the
+    Python-level loop runs `max(lengths)` times (<= length_bound)
+    instead of `sum(lengths)` times with per-bit integer ops. Inactive
+    lanes (shorter segments / non-'11' control paths) read garbage at
+    a frozen cursor and discard it — their cursors never advance, so
+    correctness is unaffected.
+
+    Bit-identical to the scalar decoder including the
+    `significantBits == 0 -> 32` reference quirk
+    (FacebookGorillaModelType.java:204-206)."""
+    n_seg = len(models)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if n_seg == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    max_bytes = max(len(m) for m in models)
+    # +8 pad so a 5-byte gather at the last bit never leaves the row
+    buf = np.zeros((n_seg, max_bytes + 8), dtype=np.uint8)
+    for i, m in enumerate(models):
+        buf[i, : len(m)] = np.frombuffer(m, dtype=np.uint8)
+    max_n = int(lengths.max())
+    out = np.zeros((n_seg, max_n), dtype=np.uint32)
+    pos = np.zeros(n_seg, dtype=np.int64)
+    rows = np.arange(n_seg)
+    u64 = np.uint64
+
+    def read(k) -> np.ndarray:
+        """k bits (scalar or per-lane array, <= 32) at each lane's
+        cursor; cursors are NOT advanced (caller adds masked width)."""
+        byte_idx = pos >> 3
+        b = (
+            (buf[rows, byte_idx].astype(np.uint64) << u64(32))
+            | (buf[rows, byte_idx + 1].astype(np.uint64) << u64(24))
+            | (buf[rows, byte_idx + 2].astype(np.uint64) << u64(16))
+            | (buf[rows, byte_idx + 3].astype(np.uint64) << u64(8))
+            | buf[rows, byte_idx + 4].astype(np.uint64)
+        )
+        off = (pos & 7).astype(np.uint64)
+        kk = np.asarray(k, dtype=np.uint64)
+        return (
+            (b >> (u64(40) - off - kk)) & ((u64(1) << kk) - u64(1))
+        ).astype(np.uint32)
+
+    last = read(32)
+    pos += 32
+    out[:, 0] = last
+    sig = np.zeros(n_seg, dtype=np.int64)
+    trail = np.zeros(n_seg, dtype=np.int64)
+    for i in range(1, max_n):
+        active = lengths > i
+        m1 = (read(1) == 1) & active
+        pos += active  # every active lane consumed the control bit
+        m_new = np.zeros(n_seg, dtype=bool)
+        if m1.any():
+            m_new = (read(1) == 1) & m1
+            pos += m1  # the second control bit ('10' vs '11')
+        if m_new.any():
+            lead = read(5)
+            pos += 5 * m_new
+            sig_v = read(6).astype(np.int64)
+            pos += 6 * m_new
+            sig_v = np.where(sig_v == 0, 32, sig_v)  # reference quirk
+            sig = np.where(m_new, sig_v, sig)
+            trail = np.where(m_new, 32 - sig_v - lead.astype(np.int64), trail)
+        k = np.where(m1, sig, 0)
+        xor = read(k) << trail.astype(np.uint32)
+        pos += k
+        last = last ^ np.where(m1, xor, 0).astype(np.uint32)
+        out[:, i] = last
+    return out.view(np.float32)
+
+
+def gorilla_decompress_batch(
+    models: list[bytes], lengths: np.ndarray
+) -> list[np.ndarray]:
+    """List-of-arrays convenience wrapper over the matrix decoder."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    res = gorilla_decompress_matrix(models, lengths)
+    return [res[i, : lengths[i]] for i in range(len(models))]

@@ -53,6 +53,36 @@ def decode_values(
     raise ValueError(f"unknown mtid {mtid}")
 
 
+def decode_dense_matrix(
+    mtids: np.ndarray, models: list[bytes], lengths: np.ndarray
+) -> np.ndarray:
+    """Batched decode of DENSE (Gorilla / raw) segments: returns an
+    (n_segments, max(lengths)) float32 matrix, row i valid to
+    lengths[i]. Gorilla rows decode in vectorized lockstep
+    (gorilla_decompress_matrix); raw rows are plain frombuffer casts.
+    This is the Arrow-batch fast path used by grid and the dense
+    rollup partials — no per-value Python anywhere."""
+    n = len(models)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    max_n = int(lengths.max())
+    out = np.zeros((n, max_n), dtype=np.float32)
+    mtids = np.asarray(mtids)
+    gor = np.flatnonzero(mtids == MTID_GORILLA)
+    if gor.size:
+        from modelardb_spark.models.gorilla import gorilla_decompress_matrix
+
+        sub = gorilla_decompress_matrix(
+            [models[i] for i in gor], lengths[gor]
+        )
+        out[gor, : sub.shape[1]] = sub
+    for i in np.flatnonzero(mtids == MTID_RAW):
+        v = raw_decode(models[i])[: lengths[i]]
+        out[i, : v.size] = v
+    return out
+
+
 def segment_grid(
     mtid: int, model: bytes, start_ms: int, end_ms: int, interval_ms: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from modelardb_spark.models import MTID_GORILLA, MTID_PMC, MTID_RAW, MTID_SWING
-from modelardb_spark.models.segment import decode_values
+from modelardb_spark.models.segment import decode_dense_matrix
 
 POINT_SCHEMA = StructType(
     [
@@ -60,31 +60,27 @@ def restrict(segments: DataFrame, lo_ms: int | None, hi_ms: int | None) -> DataF
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Whole-batch vectorized decode: one lockstep Gorilla pass + one
+    masked flatten per Arrow batch (no per-segment Python loop)."""
     for pdf in batches:
-        out_conv: list[np.ndarray] = []
-        out_metric: list[np.ndarray] = []
-        out_ts: list[np.ndarray] = []
-        out_val: list[np.ndarray] = []
-        for row in pdf.itertuples(index=False):
-            vals = decode_values(
-                row.mtid, row.model, row.start_ms, row.end_ms, row.interval_ms
-            )
-            n = vals.size
-            out_conv.append(np.repeat(row.conv_id, n))
-            out_metric.append(np.repeat(row.metric, n))
-            out_ts.append(
-                row.start_ms + row.interval_ms * np.arange(n, dtype=np.int64)
-            )
-            out_val.append(vals)
-        if out_val:
-            yield pd.DataFrame(
-                {
-                    "conv_id": np.concatenate(out_conv),
-                    "metric": np.concatenate(out_metric),
-                    "bin_ms": np.concatenate(out_ts),
-                    "value": np.concatenate(out_val),
-                }
-            )
+        n_seg = len(pdf)
+        if n_seg == 0:
+            continue
+        start = pdf["start_ms"].to_numpy().astype(np.int64)
+        end = pdf["end_ms"].to_numpy().astype(np.int64)
+        si = pdf["interval_ms"].to_numpy().astype(np.int64)
+        lens = (end - start) // si + 1
+        mat = decode_dense_matrix(pdf["mtid"].to_numpy(), list(pdf["model"]), lens)
+        idx = np.arange(mat.shape[1], dtype=np.int64)
+        mask = idx[None, :] < lens[:, None]
+        yield pd.DataFrame(
+            {
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), lens),
+                "metric": np.repeat(pdf["metric"].to_numpy(), lens),
+                "bin_ms": (start[:, None] + si[:, None] * idx[None, :])[mask],
+                "value": mat[mask],
+            }
+        )
 
 
 def grid(segments: DataFrame) -> DataFrame:

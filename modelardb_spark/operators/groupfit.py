@@ -349,6 +349,27 @@ _POINT_SCHEMA = StructType(
 )
 
 
+def _decode_member_batch(pdf: pd.DataFrame):
+    """Whole-batch decode of exploded dense group members: one lockstep
+    pass over the interleaved payloads, then a strided gather per
+    member — returns (member_matrix (S, max_ts), n_ts, start, si)."""
+    from modelardb_spark.models.segment import decode_dense_matrix
+
+    start = pdf["start_ms"].to_numpy().astype(np.int64)
+    end = pdf["end_ms"].to_numpy().astype(np.int64)
+    si = pdf["interval_ms"].to_numpy().astype(np.int64)
+    gsize = pdf["gsize"].to_numpy().astype(np.int64)
+    goff = pdf["goff"].to_numpy().astype(np.int64)
+    n_ts = (end - start) // si + 1
+    totals = n_ts * gsize
+    mat = decode_dense_matrix(pdf["mtid"].to_numpy(), list(pdf["model"]), totals)
+    max_ts = int(n_ts.max()) if len(pdf) else 0
+    cols = goff[:, None] + gsize[:, None] * np.arange(max_ts, dtype=np.int64)
+    np.clip(cols, 0, mat.shape[1] - 1, out=cols)  # inactive tail lanes
+    member = np.take_along_axis(mat, cols, axis=1)
+    return member, n_ts, start, si
+
+
 def grid_group(
     gseg: DataFrame, metrics: tuple[str, ...] = ("turn_rate", "tool_usage")
 ) -> DataFrame:
@@ -368,27 +389,19 @@ def grid_group(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            convs, mets, tss, vs = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                n_ts = int((row.end_ms - row.start_ms) // row.interval_ms) + 1
-                vals = decode_group_values(
-                    row.mtid, row.model, n_ts, row.gsize, row.goff
-                )
-                convs.append(np.repeat(row.conv_id, n_ts))
-                mets.append(np.repeat(row.metric, n_ts))
-                tss.append(
-                    row.start_ms + row.interval_ms * np.arange(n_ts, dtype=np.int64)
-                )
-                vs.append(vals)
-            if vs:
-                yield pd.DataFrame(
-                    {
-                        "conv_id": np.concatenate(convs),
-                        "metric": np.concatenate(mets),
-                        "bin_ms": np.concatenate(tss),
-                        "value": np.concatenate(vs),
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            member, n_ts, start, si = _decode_member_batch(pdf)
+            idx = np.arange(member.shape[1], dtype=np.int64)
+            mask = idx[None, :] < n_ts[:, None]
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.repeat(pdf["conv_id"].to_numpy(), n_ts),
+                    "metric": np.repeat(pdf["metric"].to_numpy(), n_ts),
+                    "bin_ms": (start[:, None] + si[:, None] * idx[None, :])[mask],
+                    "value": member[mask],
+                }
+            )
 
     dense = exploded.where(F.col("mtid") != MTID_PMC).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
@@ -412,29 +425,32 @@ def rollup_from_group_segments(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["conv_id", "metric", "window_ms", "cnt", "vmin", "vmax", "vsum"]
         for pdf in batches:
-            rows: dict[str, list] = {c: [] for c in cols}
-            for row in pdf.itertuples(index=False):
-                n_ts = int((row.end_ms - row.start_ms) // row.interval_ms) + 1
-                vals = decode_group_values(
-                    row.mtid, row.model, n_ts, row.gsize, row.goff
-                )
-                ts = row.start_ms + row.interval_ms * np.arange(n_ts, dtype=np.int64)
-                wins = (ts // window_ms) * window_ms
-                starts = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(wins)) + 1)
-                )
-                rows["conv_id"].append(np.repeat(row.conv_id, starts.size))
-                rows["metric"].append(np.repeat(row.metric, starts.size))
-                rows["window_ms"].append(wins[starts])
-                counts = np.diff(np.concatenate((starts, [n_ts])))
-                rows["cnt"].append(counts.astype(np.int64))
-                rows["vmin"].append(np.minimum.reduceat(vals, starts))
-                rows["vmax"].append(np.maximum.reduceat(vals, starts))
-                rows["vsum"].append(np.add.reduceat(vals.astype(np.float64), starts))
-            if rows["cnt"]:
-                yield pd.DataFrame({c: np.concatenate(rows[c]) for c in cols})
+            if len(pdf) == 0:
+                continue
+            member, n_ts, start, si = _decode_member_batch(pdf)
+            idx = np.arange(member.shape[1], dtype=np.int64)
+            mask = idx[None, :] < n_ts[:, None]
+            vals = member[mask]
+            ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
+            seg_id = np.repeat(np.arange(len(pdf)), n_ts)
+            wins = (ts // window_ms) * window_ms
+            new = np.empty(vals.size, dtype=bool)
+            new[0] = True
+            new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.concatenate((starts, [vals.size])))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy()[seg_id[starts]],
+                    "metric": pdf["metric"].to_numpy()[seg_id[starts]],
+                    "window_ms": wins[starts],
+                    "cnt": counts.astype(np.int64),
+                    "vmin": np.minimum.reduceat(vals, starts),
+                    "vmax": np.maximum.reduceat(vals, starts),
+                    "vsum": np.add.reduceat(vals.astype(np.float64), starts),
+                }
+            )
 
     dense = exploded.where(F.col("mtid") != MTID_PMC).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
@@ -450,6 +466,77 @@ def rollup_from_group_segments(
             F.sum("vsum").alias("vsum"),
         )
         .withColumn("mean", F.col("vsum") / F.col("cnt"))
+    )
+
+
+def correlated_conversations(
+    wide_series: DataFrame,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Group-formation decision per conversation — the reference forms
+    groups from static correlation clauses evaluated at startup
+    (core/Correlation.java:40-45: by source, by dimension members, by
+    LCA level, by dimension distance; applied in
+    core/Partitioner.java:95-124). Spark-first modernization: measure
+    the actual Pearson correlation of the member series (one hash
+    aggregate) and group when it clears the threshold — the
+    data-driven analogue of the reference's `distance` clause.
+    Returns (conv_id, grouped: bool)."""
+    # Pearson via try_divide: a zero-variance member makes the
+    # correlation undefined (ANSI mode raises on F.corr's internal
+    # division) -> NULL -> routed per-series
+    pairs = [
+        F.try_divide(
+            F.covar_pop(metrics[i], metrics[j]),
+            F.stddev_pop(metrics[i]) * F.stddev_pop(metrics[j]),
+        )
+        for i in range(len(metrics))
+        for j in range(i + 1, len(metrics))
+    ]
+    min_corr = pairs[0] if len(pairs) == 1 else F.least(*pairs)
+    return wide_series.groupBy("conv_id").agg(
+        (F.coalesce(min_corr, F.lit(-1.0)) >= threshold).alias("grouped")
+    )
+
+
+def fit_segments_adaptive(
+    wide_series: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+    threshold: float = 0.2,
+) -> tuple[DataFrame, DataFrame]:
+    """Route each conversation to GROUP or PER-SERIES fitting by
+    measured correlation (Partitioner.java:95-124 group formation).
+    Returns (group_segments, per_series_segments); at error bound 0
+    both reconstruct exactly, so routing only moves the compression
+    ratio, never correctness."""
+    from modelardb_spark.operators.fit import fit_segments_wide
+
+    routed = wide_series.join(
+        correlated_conversations(wide_series, metrics, threshold), "conv_id"
+    )
+    g = fit_segments_grouped(
+        routed.where(F.col("grouped")).drop("grouped"), cfg, metrics
+    )
+    p = fit_segments_wide(
+        routed.where(~F.col("grouped")).drop("grouped"), cfg, metrics
+    )
+    return g, p
+
+
+def rollup_adaptive(
+    gseg: DataFrame,
+    pseg: DataFrame,
+    window_ms: int,
+    metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+) -> DataFrame:
+    """Rollup over an adaptive fit: each conversation lives entirely in
+    one path, so the two aggregated tiers union without re-grouping."""
+    from modelardb_spark.operators.rollup import rollup_from_segments
+
+    return rollup_from_group_segments(gseg, window_ms, metrics).unionByName(
+        rollup_from_segments(pseg, window_ms)
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 )
 
 from modelardb_spark.models import MTID_GORILLA, MTID_PMC, MTID_RAW, MTID_SWING
-from modelardb_spark.models.segment import decode_values
+from modelardb_spark.models.segment import decode_dense_matrix
 
 MINUTE_MS = 60_000
 HOUR_MS = 3_600_000
@@ -125,35 +125,48 @@ def _analytic_partials(segments: DataFrame, window_ms: int) -> DataFrame:
 
 
 def _dense_partials(segments: DataFrame, window_ms: int) -> DataFrame:
-    """Vectorized decode path for Gorilla/raw segments: one pass per
-    segment, windows reduced with NumPy reduceat."""
+    """Vectorized decode path for Gorilla/raw segments: the whole Arrow
+    batch decodes in one lockstep pass (decode_dense_matrix), then ONE
+    flatten + ONE reduceat family per batch computes every
+    (segment ∩ window) partial — no per-segment Python loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, list] = {c: [] for c in _PARTIAL_COLS}
-            for row in pdf.itertuples(index=False):
-                vals = decode_values(
-                    row.mtid, row.model, row.start_ms, row.end_ms, row.interval_ms
-                )
-                n = vals.size
-                ts = row.start_ms + row.interval_ms * np.arange(n, dtype=np.int64)
-                wins = (ts // window_ms) * window_ms
-                bounds = np.flatnonzero(np.diff(wins)) + 1
-                starts = np.concatenate(([0], bounds))
-                rows["conv_id"].append(np.repeat(row.conv_id, starts.size))
-                rows["metric"].append(np.repeat(row.metric, starts.size))
-                rows["window_ms"].append(wins[starts])
-                counts = np.diff(np.concatenate((starts, [n])))
-                rows["cnt"].append(counts.astype(np.int64))
-                rows["vmin"].append(np.minimum.reduceat(vals, starts))
-                rows["vmax"].append(np.maximum.reduceat(vals, starts))
-                rows["vsum"].append(
-                    np.add.reduceat(vals.astype(np.float64), starts)
-                )
-            if rows["cnt"]:
-                yield pd.DataFrame(
-                    {c: np.concatenate(rows[c]) for c in _PARTIAL_COLS}
-                )
+            n_seg = len(pdf)
+            if n_seg == 0:
+                continue
+            start = pdf["start_ms"].to_numpy().astype(np.int64)
+            end = pdf["end_ms"].to_numpy().astype(np.int64)
+            si = pdf["interval_ms"].to_numpy().astype(np.int64)
+            lens = (end - start) // si + 1
+            mat = decode_dense_matrix(
+                pdf["mtid"].to_numpy(), list(pdf["model"]), lens
+            )
+            max_n = mat.shape[1]
+            idx = np.arange(max_n, dtype=np.int64)
+            mask = idx[None, :] < lens[:, None]
+            vals = mat[mask]
+            ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
+            seg_id = np.repeat(np.arange(n_seg), lens)
+            wins = (ts // window_ms) * window_ms
+            new = np.empty(vals.size, dtype=bool)
+            new[0] = True
+            new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
+            starts = np.flatnonzero(new)
+            conv = pdf["conv_id"].to_numpy()
+            met = pdf["metric"].to_numpy()
+            counts = np.diff(np.concatenate((starts, [vals.size])))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv[seg_id[starts]],
+                    "metric": met[seg_id[starts]],
+                    "window_ms": wins[starts],
+                    "cnt": counts.astype(np.int64),
+                    "vmin": np.minimum.reduceat(vals, starts),
+                    "vmax": np.maximum.reduceat(vals, starts),
+                    "vsum": np.add.reduceat(vals.astype(np.float64), starts),
+                }
+            )
 
     dense = segments.where(F.col("mtid").isin(MTID_RAW, MTID_GORILLA)).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms", "mtid", "model"

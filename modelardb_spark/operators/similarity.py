@@ -288,6 +288,139 @@ def embedding_near_dup(
     )
 
 
+def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic IVF 'training': the cell centroids are the
+    `n_cells` corpus vectors with the smallest md5(vec_id) — a
+    reproducible stand-in for offline k-means (which a production
+    deployment would run periodically and persist). Physical plan is
+    TakeOrderedAndProject (top-K, no full sort shuffle)."""
+    ordered = emb.select("vec_id", "embedding").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        ordered.limit(n_cells)
+        .withColumn("cell", F.row_number().over(w))
+        .select("cell", F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+
+
+def _centroid_matrix(cents: DataFrame):
+    rows = cents.select("cell", "embedding").collect()  # K rows only
+    cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    return cells, m, norms
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
+    """(vec_id, cell[, probe_rank]): nearest `n_probe` centroids per
+    vector by round-6 cosine (ties to the lower cell id — the same
+    deterministic rule the SQL oracle uses). The centroid matrix is a
+    K-row broadcast; assignment is a map-only NumPy block matmul."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cells, cm, cnorms = _centroid_matrix(cents)
+    bq = emb.sparkSession.sparkContext.broadcast((cells, cm, cnorms))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("probe_rank", IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        cl, m_c, n_c = bq.value
+        p = min(n_probe, cl.size)
+        for pdf in batches:
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bnorm = np.sqrt((block * block).sum(axis=1))
+            sims = np.round((block @ m_c.T) / np.outer(bnorm, n_c), 6)
+            order = np.lexsort((cl[None, :].repeat(vid.size, 0), -sims), axis=1)[
+                :, :p
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, p),
+                    "cell": cl[order].ravel().astype(np.int32),
+                    "probe_rank": np.tile(
+                        np.arange(1, p + 1, dtype=np.int32), vid.size
+                    ),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest
+    centroid's cell; each query probes its `n_probe` nearest cells and
+    ranks exactly (round-6 cosine, neighbor-id ties) within the probed
+    candidates. Shuffle volume is O(corpus) for the cell assignment
+    plus O(candidates) for the probe join — never O(n^2); recall is
+    tuned with (n_cells, n_probe)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb, n_cells)
+    corpus = ivf_assign(emb, cents, n_probe=1).select("vec_id", "cell")
+    probes = ivf_assign(queries, cents, n_probe=n_probe).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    base = with_norm(emb)
+    cand = (
+        probes.join(corpus.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("eq"),
+        F.col("norm").alias("nq"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("en"),
+        F.col("norm").alias("nn"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("eq"), F.col("en")) / (F.col("nq") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8, seed: int = 42) -> DataFrame:
     """Approximate top-k: exact ranking *within* each LSH bucket (each
     vector lives in exactly one bucket, so bucket-local rank == final

@@ -1,0 +1,133 @@
+"""Registered SQL function surface: COUNT_S / MIN_S / MAX_S / SUM_S /
+AVG_S aggregates and START / END / START_END restrictions, so
+reference-style SQL over the `segments` view runs verbatim
+(engines/spark/SparkUDAF.scala:346-426).
+
+Execution shape:
+
+- the *_S aggregates are Arrow-batched pandas grouped-agg UDFs over the
+  segment-view columns; like the reference Aggregators they compute
+  from the MODEL (closed form for PMC/Swing, decode for Gorilla/raw),
+  not from pre-materialized statistics, so they work on any segment
+  frame regardless of which extra columns were kept. Catalyst supplies
+  the partial/final merge.
+- START / END / START_END are pure SQL scalar functions (CREATE
+  TEMPORARY FUNCTION ... RETURN <expr>): they stay inside whole-stage
+  codegen, no Python. The rounding arithmetic is cloned from
+  core/models/Segment.java:73-95 — both bounds round OUTWARD to the
+  segment's timestamp grid (the engine re-applies the exact point
+  predicate after reconstruction, as the reference does).
+
+Divergence note: the reference signatures carry (tid, ..., gaps) and
+consult per-tid caches; this engine's per-series segment rows are
+self-describing (interval_ms inline, no gaps at group size 1), so the
+functions take the segment columns directly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from modelardb_spark.models.segment import segment_agg
+
+
+def _seg_aggs(mtid, model, start, end, si):
+    for row in zip(mtid, model, start, end, si):
+        yield segment_agg(int(row[0]), bytes(row[1]), int(row[2]), int(row[3]), int(row[4]))
+
+
+def _make_udafs():
+    """Grouped-agg pandas UDFs (created lazily: pandas_udf needs an
+    active session to parse DDL return types)."""
+
+    @pandas_udf("long")
+    def count_s(start: pd.Series, end: pd.Series, si: pd.Series) -> int:
+        # CountS.reduce (SparkUDAF.scala:39-41): (end - start) / si + 1
+        return int(((end - start) // si + 1).sum())
+
+    @pandas_udf("double")
+    def min_s(mtid: pd.Series, model: pd.Series, start: pd.Series,
+              end: pd.Series, si: pd.Series) -> float:
+        vals = [a[1] for a in _seg_aggs(mtid, model, start, end, si)]
+        return float(min(vals)) if vals else None
+
+    @pandas_udf("double")
+    def max_s(mtid: pd.Series, model: pd.Series, start: pd.Series,
+              end: pd.Series, si: pd.Series) -> float:
+        vals = [a[2] for a in _seg_aggs(mtid, model, start, end, si)]
+        return float(max(vals)) if vals else None
+
+    @pandas_udf("double")
+    def sum_s(mtid: pd.Series, model: pd.Series, start: pd.Series,
+              end: pd.Series, si: pd.Series) -> float:
+        return float(sum(a[3] for a in _seg_aggs(mtid, model, start, end, si)))
+
+    @pandas_udf("double")
+    def avg_s(mtid: pd.Series, model: pd.Series, start: pd.Series,
+              end: pd.Series, si: pd.Series) -> float:
+        cnt, total = 0, 0.0
+        for a in _seg_aggs(mtid, model, start, end, si):
+            cnt += a[0]
+            total += a[3]
+        return total / cnt if cnt else None
+
+    return count_s, min_s, max_s, sum_s, avg_s
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Idempotently register the aggregate + restriction functions on
+    the session. After this, reference-style SQL runs verbatim:
+
+        SELECT MIN_S(mtid, model, start_ms, end_ms, interval_ms)
+        FROM segments WHERE conv_id = '42'
+
+        SELECT START_END(start_ms, end_ms, interval_ms, :lo, :hi).s
+        FROM segments WHERE end_ms >= :lo AND start_ms <= :hi
+    """
+    count_s, min_s, max_s, sum_s, avg_s = _make_udafs()
+    spark.udf.register("COUNT_S", count_s)
+    spark.udf.register("MIN_S", min_s)
+    spark.udf.register("MAX_S", max_s)
+    spark.udf.register("SUM_S", sum_s)
+    spark.udf.register("AVG_S", avg_s)
+    # Segment.java:73-84 — start rounds DOWN to the previous grid point
+    # (diff = (new - start) % si; new - diff), no-op outside the segment
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION START(
+            start_ms BIGINT, end_ms BIGINT, interval_ms BIGINT, new_start BIGINT)
+        RETURNS BIGINT
+        RETURN CASE WHEN new_start <= start_ms OR end_ms < new_start
+                    THEN start_ms
+                    ELSE new_start - ((new_start - start_ms) % interval_ms) END
+        """
+    )
+    # Segment.java:86-95 — end rounds UP to the next grid point
+    # (diff = (end - new) % si; new + diff), no-op outside the segment
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION END(
+            start_ms BIGINT, end_ms BIGINT, interval_ms BIGINT, new_end BIGINT)
+        RETURNS BIGINT
+        RETURN CASE WHEN new_end < start_ms OR end_ms <= new_end
+                    THEN end_ms
+                    ELSE new_end + ((end_ms - new_end) % interval_ms) END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION START_END(
+            start_ms BIGINT, end_ms BIGINT, interval_ms BIGINT,
+            new_start BIGINT, new_end BIGINT)
+        RETURNS STRUCT<s: BIGINT, e: BIGINT>
+        RETURN struct(
+            CASE WHEN new_start <= start_ms OR end_ms < new_start
+                 THEN start_ms
+                 ELSE new_start - ((new_start - start_ms) % interval_ms) END AS s,
+            CASE WHEN new_end < start_ms OR end_ms <= new_end
+                 THEN end_ms
+                 ELSE new_end + ((end_ms - new_end) % interval_ms) END AS e)
+        """
+    )

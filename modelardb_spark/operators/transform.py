@@ -30,6 +30,53 @@ def scale_series(series: DataFrame, scaling_factor: float) -> DataFrame:
     )
 
 
+def time_series_metadata(
+    series: DataFrame, scaling: dict[tuple[str, str], float] | None = None
+) -> DataFrame:
+    """The engine's `time_series` metadata table: one row per series
+    with (tid, conv_id, metric, scaling_factor) — the analogue of the
+    reference's time_series table + timeSeriesScalingFactorCache
+    (storage/JDBCStorage.scala:47-52, cached Storage.java). tids are
+    md5-derived (stable, partition-independent — no global row_number
+    bottleneck at scale); scaling defaults to a deterministic
+    md5-derived demo factor in {1.0, 1.25, 1.5} unless explicit
+    per-(conv_id, metric) overrides are given."""
+    key = F.concat_ws(":", "conv_id", "metric")
+    base = series.select("conv_id", "metric").distinct()
+    tid = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    if scaling is None:
+        digit = F.conv(F.substring(F.md5(key), 16, 1), 16, 10).cast("long")
+        factor = F.lit(1.0) + (digit % 3).cast("double") * F.lit(0.25)
+    else:
+        factor = F.lit(1.0)
+        for (cid, met), sf in sorted(scaling.items()):
+            factor = F.when(
+                (F.col("conv_id") == cid) & (F.col("metric") == met), F.lit(sf)
+            ).otherwise(factor)
+    return base.select(
+        tid.alias("tid"), "conv_id", "metric", factor.alias("scaling_factor")
+    )
+
+
+def scale_series_per_tid(series: DataFrame, meta: DataFrame) -> DataFrame:
+    """Per-series scaling applied at READ time, before fitting —
+    exactly where the reference applies it (TimeSeriesCSV.java:194,
+    TimeSeriesParquet.java:71: value * scalingFactor as float). The
+    metadata table is broadcast; the series side never shuffles."""
+    return series.join(
+        F.broadcast(meta.select("conv_id", "metric", "tid", "scaling_factor")),
+        ["conv_id", "metric"],
+    ).select(
+        "tid",
+        "conv_id",
+        "metric",
+        "bin_ms",
+        (F.col("value").cast("double") * F.col("scaling_factor"))
+        .cast("float")
+        .alias("value"),
+    )
+
+
 def derive_value_series(
     series: DataFrame, derived: dict[str, tuple[str, str]]
 ) -> DataFrame:

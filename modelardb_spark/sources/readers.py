@@ -82,6 +82,49 @@ def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
     return _finalize(spark.read.orc(path), None)
 
 
+def stream_transcripts_socket(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    sep: str = ",",
+    ts_format: str | None = None,
+) -> DataFrame:
+    """Streaming transcript source over a TCP socket — the reference's
+    AsyncTimeSeriesSocket (core/timeseries/AsyncTimeSeriesSocket.java:
+    line-delimited text, configurable split string, timestamp column
+    parsed as unix / java millis / a date format) re-expressed as
+    Spark's socket stream source + JVM-side column parsing.
+
+    Lines are `conv_id<sep>turn_idx<sep>role<sep>text<sep>tool<sep>ts`;
+    `ts` is epoch-millis when ts_format is None (the reference's
+    "java" date parser), else parsed with the given pattern. Returns an
+    unbounded streaming DataFrame in TRANSCRIPT_SCHEMA shape, ready for
+    the same foreachBatch ingest as the file-drop stream."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    parts = F.split(F.col("value"), sep)
+    ts_raw = parts.getItem(5)
+    ts = (
+        F.timestamp_millis(ts_raw.cast("long"))
+        if ts_format is None
+        else F.to_timestamp(ts_raw, ts_format)
+    )
+    return lines.select(
+        parts.getItem(0).alias("conv_id"),
+        parts.getItem(1).cast("int").alias("turn_idx"),
+        parts.getItem(2).alias("role"),
+        parts.getItem(3).alias("text"),
+        F.when(parts.getItem(4) == "", None)
+        .otherwise(parts.getItem(4))
+        .alias("tool"),
+        ts.cast("timestamp").alias("ts"),
+    )
+
+
 def register_external_table(
     spark: SparkSession, name: str, path: str, fmt: str = "parquet"
 ) -> DataFrame:

@@ -74,3 +74,45 @@ def stream_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_socket(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    sep: str = ",",
+):
+    """Socket-fed incremental ingest (the reference's
+    AsyncTimeSeriesSocket receiver path, WorkingSetReceiver.scala):
+    line-delimited transcript turns over TCP, micro-batched through the
+    same fit -> batch-keyed idempotent write as the file-drop stream.
+
+    Note the socket source keeps no offsets, so delivery is
+    at-most-once across restarts (the reference's receiver has the
+    same property); within a run, batch-keyed writes stay idempotent."""
+    from modelardb_spark.sources.readers import stream_transcripts_socket
+
+    catalog = TableCatalog(out_root)
+
+    def process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        if batch_df.isEmpty():
+            return
+        segments = with_part_key(
+            fit_segments(derive_series(batch_df, cfg), cfg), cfg.conv_buckets
+        ).withColumn("batch_id", F.lit(batch_id))
+        catalog.overwrite_partitions(segments, "segments", ["batch_id", "part_day"])
+
+    stream = stream_transcripts_socket(spark, host, port, sep=sep)
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{out_root}/_stream_checkpoint",
+        )
+        .start()
+    )

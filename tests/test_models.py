@@ -264,3 +264,37 @@ def test_raw_fallback_for_single_point_flush():
     assert segs[0].n == 1
     _, v = segment_grid(segs[0].mtid, segs[0].model, segs[0].start_ms, segs[0].end_ms, INTERVAL)
     assert v[0] == np.float32(9.0)
+
+
+def test_gorilla_batch_decode_bit_identical():
+    """The lockstep batch decoder must reproduce the scalar decoder
+    bit-for-bit on mixed streams (repeats, counts, random floats,
+    single values)."""
+    import numpy as np
+
+    from modelardb_spark.models.gorilla import (
+        gorilla_compress,
+        gorilla_decompress,
+        gorilla_decompress_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    models, lens, scalar = [], [], []
+    for i in range(400):
+        n = int(rng.integers(1, 51))
+        kind = i % 4
+        if kind == 0:
+            v = rng.integers(0, 5, n).astype(np.float32)
+        elif kind == 1:
+            v = np.full(n, float(rng.integers(0, 9)), dtype=np.float32)
+        elif kind == 2:
+            v = rng.normal(0, 1000, n).astype(np.float32)
+        else:
+            v = np.repeat(rng.normal(0, 10, n // 5 + 1), 5)[:n].astype(np.float32)
+        m = gorilla_compress(v)
+        models.append(m)
+        lens.append(n)
+        scalar.append(gorilla_decompress(m, n))
+    batch = gorilla_decompress_batch(models, np.array(lens))
+    for a, b in zip(scalar, batch):
+        np.testing.assert_array_equal(a, b)

@@ -98,3 +98,71 @@ def test_stream_ingest_incremental(spark, transcripts, tmp_path):
     q2 = stream_ingest(spark, f"{in_dir}/*.parquet", out_root, EngineConfig())
     q2.awaitTermination(60)
     assert TableCatalog(out_root).read(spark, "segments").count() == segments.count()
+
+
+def test_stream_ingest_socket(spark, tmp_path):
+    """Socket-fed ingest (AsyncTimeSeriesSocket analogue): lines pushed
+    over TCP arrive as segments through the same fit path."""
+    import socket
+    import threading
+    import time as _time
+
+    from modelardb_spark.streaming.ingest import stream_ingest_socket
+
+    base_ms = 1_704_067_200_000
+    lines = []
+    for conv in ("sa", "sb"):
+        for i in range(120):
+            ts = base_ms + i * 30_000  # 2 turns per 1-minute bin
+            tool = "click" if i % 3 == 0 else ""
+            lines.append(f"{conv},{i},user,hello {i},{tool},{ts}")
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        _time.sleep(30)  # keep the connection open while Spark drains
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out_root = str(tmp_path / "sock_out")
+    q = stream_ingest_socket(spark, "127.0.0.1", port, out_root)
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            import os
+
+            if os.path.exists(os.path.join(out_root, "segments")):
+                seg = TableCatalog(out_root).read(spark, "segments")
+                if seg.count() > 0 and seg.agg(
+                    {"seg_cnt": "sum"}
+                ).first()[0] >= 120:  # 60 bins x 2 convs
+                    break
+            _time.sleep(1)
+    finally:
+        q.stop()
+        srv.close()
+
+    seg = TableCatalog(out_root).read(spark, "segments")
+    pts = grid(seg)
+    got = {
+        (r["conv_id"], r["metric"]): r["total"]
+        for r in pts.groupBy("conv_id", "metric")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    # 120 turns per conv -> 60 bins x turn_rate 2
+    assert got[("sa", "turn_rate")] == 120.0
+    assert got[("sb", "turn_rate")] == 120.0
+    # every 3rd turn used a tool -> 40 tool events per conv
+    assert got[("sa", "tool_usage")] == 40.0
+    assert got[("sb", "tool_usage")] == 40.0

@@ -197,3 +197,22 @@ def test_frame_sample_plan(spark, docs):
     got = plan.groupBy("media_id").count().collect()
     want = {v["media_id"]: v["duration_ms"] // 1000 + 1 for v in vids}
     assert {r["media_id"]: r["count"] for r in got} == want
+
+
+def test_ivf_topk_approximates_brute_force(spark, sf_small):
+    from modelardb_spark.operators.similarity import ivf_topk
+
+    emb = load_embeddings(spark, sf_small).cache()
+    queries = emb.where("vec_id < 20")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # every query must get k results (probed cells are never empty:
+    # each query's own cell is among its probes)
+    assert len(approx_rows) == 20 * 5
+    # probing 4/16 cells should recover a solid share of true neighbors
+    overlap = len(brute & approx) / len(brute)
+    assert overlap >= 0.3

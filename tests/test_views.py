@@ -69,3 +69,65 @@ def raw_series_total(series):
         .agg(F.sum(F.col("value").cast("double")))
         .first()[0]
     )
+
+
+def test_registered_sql_function_surface(spark):
+    """COUNT_S/MIN_S/MAX_S/SUM_S/AVG_S + START/END/START_END run as
+    verbatim SQL and agree with the raw series (reference
+    SparkUDAF.scala:346-426 surface)."""
+    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+
+    t = synthetic_transcripts(spark, n_convs=6, turns_per_conv=150, mega_convs=0)
+    series = derive_series(t).cache()
+    register_views(spark, fit_segments(series))
+    register_sql_functions(spark)
+
+    got = {
+        (r["conv_id"], r["metric"]): r
+        for r in spark.sql(
+            """
+            SELECT conv_id, metric,
+                   COUNT_S(start_ms, end_ms, interval_ms) AS cnt,
+                   MIN_S(mtid, model, start_ms, end_ms, interval_ms) AS vmin,
+                   MAX_S(mtid, model, start_ms, end_ms, interval_ms) AS vmax,
+                   SUM_S(mtid, model, start_ms, end_ms, interval_ms) AS vsum,
+                   AVG_S(mtid, model, start_ms, end_ms, interval_ms) AS mean
+            FROM segments GROUP BY conv_id, metric
+            """
+        ).collect()
+    }
+    want = {
+        (r["conv_id"], r["metric"]): r
+        for r in series.groupBy("conv_id", "metric")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum(F.col("value").cast("double")).alias("vsum"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["cnt"] == w["cnt"]
+        assert g["vmin"] == w["vmin"] and g["vmax"] == w["vmax"]
+        assert abs(g["vsum"] - w["vsum"]) < 1e-6
+        assert abs(g["mean"] - w["vsum"] / w["cnt"]) < 1e-9
+
+    # restriction functions: outward grid rounding (Segment.java:73-95)
+    row = spark.sql(
+        """
+        SELECT START(0, 600000, 60000, 130000) AS s,
+               END(0, 600000, 60000, 130000) AS e,
+               START_END(0, 600000, 60000, 130000, 470000) AS se
+        """
+    ).first()
+    assert row["s"] == 120000  # rounds DOWN to the grid
+    assert row["e"] == 180000  # rounds UP to the grid
+    assert row["se"]["s"] == 120000 and row["se"]["e"] == 480000
+    # no-op outside the segment bounds
+    row = spark.sql(
+        "SELECT START(60000, 600000, 60000, 0) AS s, END(60000, 600000, 60000, 999999999) AS e"
+    ).first()
+    assert row["s"] == 60000 and row["e"] == 600000
