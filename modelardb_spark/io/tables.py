@@ -32,6 +32,23 @@ from pyspark.sql import functions as F
 DAY_MS = 86_400_000
 
 
+#: the reference's model_type metadata table contents
+#: (storage schema: `model_type(mtid INT, name TEXT)`,
+#: JDBCStorage.scala:47; mtid 1 is always the fallback,
+#: ModelTypeFactory.java:23-26)
+MODEL_TYPES: list[tuple[int, str]] = [
+    (1, "modelardb_spark.models.uncompressed"),
+    (2, "modelardb_spark.models.pmc_mean"),
+    (3, "modelardb_spark.models.swing"),
+    (4, "modelardb_spark.models.gorilla"),
+]
+
+
+def model_type_table(spark: SparkSession) -> DataFrame:
+    """The `model_type` metadata table (mtid -> implementation name)."""
+    return spark.createDataFrame(MODEL_TYPES, "mtid INT, name STRING")
+
+
 def with_part_key(df: DataFrame, buckets: int = 32) -> DataFrame:
     """Add the layout columns: conv bucket + day of segment start."""
     return df.withColumn(

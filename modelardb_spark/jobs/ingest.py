@@ -144,6 +144,24 @@ def ingest(
         segments.unpersist()
         r1h.unpersist()
 
+    # metadata tables (reference storage schema: time_series with
+    # per-series scaling + model_type, JDBCStorage.scala:47-52)
+    from modelardb_spark.io.tables import model_type_table
+    from modelardb_spark.operators.transform import time_series_metadata
+
+    series_keys = (
+        staged.select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.explode(F.array(*[F.lit(m) for m in cfg.metrics])).alias("metric"),
+        )
+    )
+    # scaling={} -> factor 1.0 recorded for every series (the ingest
+    # path applies no scaling; the table records what WAS applied)
+    catalog.overwrite(time_series_metadata(series_keys, scaling={}), "time_series")
+    catalog.overwrite(model_type_table(spark), "model_type")
+
     catalog.write_manifest(
         "segments",
         {

@@ -76,6 +76,37 @@ def _make_udafs():
     return count_s, min_s, max_s, sum_s, avg_s
 
 
+#: the reference's `#` query sugar (engines/EngineUtilities.scala /
+#: SparkUDAF usage): `AGG_S(#)` expands to the full segment column
+#: list. Our per-series segment rows are self-describing, so the
+#: expansion is the model-bearing column tuple.
+_SUGAR_COUNT = "start_ms, end_ms, interval_ms"
+_SUGAR_FULL = "mtid, model, start_ms, end_ms, interval_ms"
+
+
+def expand_segment_sugar(sql: str) -> str:
+    """Expand the reference's `#` argument sugar so queries like
+    ``SELECT MIN_S(#) FROM segments`` run verbatim: `COUNT_S(#)` ->
+    the (start, end, interval) triple; `MIN_S/MAX_S/SUM_S/AVG_S(#)` ->
+    the full model-bearing column list (the reference expands `#` to
+    the segment view's columns the same way)."""
+    import re
+
+    out = re.sub(r"\bCOUNT_S\s*\(\s*#\s*\)", f"COUNT_S({_SUGAR_COUNT})", sql)
+    return re.sub(
+        r"\b(MIN_S|MAX_S|SUM_S|AVG_S)\s*\(\s*#\s*\)",
+        lambda m: f"{m.group(1)}({_SUGAR_FULL})",
+        out,
+    )
+
+
+def segment_sql(spark: SparkSession, sql: str):
+    """Run reference-style SQL over the registered views: expands the
+    `#` sugar, then delegates to spark.sql (functions and views must be
+    registered first — register_views + register_sql_functions)."""
+    return spark.sql(expand_segment_sugar(sql))
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Idempotently register the aggregate + restriction functions on
     the session. After this, reference-style SQL runs verbatim:

@@ -132,3 +132,19 @@ def test_retention_drops_cold_tiers(spark, transcripts, tmp_path):
     assert old_windows.count() > 0
     # idempotent
     assert apply_retention(catalog, policy, now_ms)["segments"] == 0
+
+
+def test_ingest_writes_metadata_tables(spark, transcripts, tmp_path):
+    """The reference storage schema's time_series and model_type
+    metadata tables (JDBCStorage.scala:47-52) exist after ingest."""
+    root = str(tmp_path / "meta")
+    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="s1")
+    catalog = TableCatalog(root)
+    ts = catalog.read(spark, "time_series")
+    assert set(ts.columns) == {"tid", "conv_id", "metric", "scaling_factor"}
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert ts.count() == n_convs * 2  # two metrics per conversation
+    assert ts.where("scaling_factor != 1.0").count() == 0
+    assert ts.select("tid").distinct().count() == ts.count()
+    mt = {r["mtid"]: r["name"] for r in catalog.read(spark, "model_type").collect()}
+    assert mt[1].endswith("uncompressed") and mt[4].endswith("gorilla")

@@ -131,3 +131,32 @@ def test_registered_sql_function_surface(spark):
         "SELECT START(60000, 600000, 60000, 0) AS s, END(60000, 600000, 60000, 999999999) AS e"
     ).first()
     assert row["s"] == 60000 and row["e"] == 600000
+
+
+def test_segment_sugar_expansion(spark):
+    """The reference's `#` sugar: COUNT_S(#) / MIN_S(#) run verbatim."""
+    from modelardb_spark.operators.sqlfunctions import (
+        expand_segment_sugar,
+        register_sql_functions,
+        segment_sql,
+    )
+
+    assert (
+        expand_segment_sugar("SELECT COUNT_S(#) FROM segments")
+        == "SELECT COUNT_S(start_ms, end_ms, interval_ms) FROM segments"
+    )
+    assert "MIN_S(mtid, model, start_ms, end_ms, interval_ms)" in expand_segment_sugar(
+        "SELECT MIN_S( # ) FROM segments"
+    )
+
+    t = synthetic_transcripts(spark, n_convs=4, turns_per_conv=100, mega_convs=0)
+    series = derive_series(t).cache()
+    register_views(spark, fit_segments(series))
+    register_sql_functions(spark)
+    row = segment_sql(
+        spark,
+        "SELECT COUNT_S(#) AS cnt, MIN_S(#) AS vmin, MAX_S(#) AS vmax FROM segments",
+    ).first()
+    assert row["cnt"] == series.count()
+    want = series.agg(F.min("value"), F.max("value")).first()
+    assert row["vmin"] == want[0] and row["vmax"] == want[1]
