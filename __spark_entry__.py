@@ -309,14 +309,28 @@ _TOPK_BITS, _TOPK_K = 6, 5
 _LSH_SEED = 42
 
 
+def _assert_oracle_dim(emb) -> None:
+    """The LSH/IVF oracle SQL inlines dimension 64
+    (generate_series(0, 63)); a different fixture dim would make
+    DuckDB's list_zip NULL-pad and silently diverge — fail loudly
+    instead."""
+    dim = len(emb.select("embedding").first()[0])
+    if dim != 64:
+        raise ValueError(
+            f"embeddings dim {dim} != 64: regenerate the LSH oracle SQL"
+        )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup (the scale path): candidates = pairs
     sharing >= 1 bucket across _ND_TABLES tables, verified with exact
     cosine >= _ND_THRESH. No driver collect of the vector table."""
     from modelardb_spark.operators.similarity import embedding_near_dup, load_embeddings
 
+    emb = load_embeddings(spark, sf_dir)
+    _assert_oracle_dim(emb)
     return embedding_near_dup(
-        load_embeddings(spark, sf_dir),
+        emb,
         threshold=_ND_THRESH,
         bits=_ND_BITS,
         tables=_ND_TABLES,
@@ -327,8 +341,9 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.similarity import load_embeddings, lsh_topk
 
-    return lsh_topk(load_embeddings(spark, sf_dir), k=_TOPK_K, bits=_TOPK_BITS,
-                    seed=_LSH_SEED)
+    emb = load_embeddings(spark, sf_dir)
+    _assert_oracle_dim(emb)
+    return lsh_topk(emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED)
 
 
 #: IVF parameters shared by the Spark query and its SQL oracle

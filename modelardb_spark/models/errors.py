@@ -34,15 +34,17 @@ def percentage_error_vec(
 ) -> np.ndarray:
     """Vectorized percentage error; inputs broadcast, float64 math.
 
-    Division by a 0-valued `real` is DEFINED (-> inf, the Java
-    semantics), so the masked `np.divide` form is used instead of an
-    `np.errstate` context manager — the context manager costs ~15% of
-    cascade time at 280k calls (it is a per-call thread-state dance)."""
+    The operation ORDER is the reference's exactly —
+    ``abs((real - approx) / real) * 100`` (Static.java:110-119) — not
+    an algebraic rearrangement: divide-then-abs-then-scale can differ
+    from other orders by 1 ulp, and the lossy bound check must agree
+    bit-for-bit with the fit-time decision. The errstate context is
+    acceptable here because the LOSSLESS hot path short-circuits in
+    `outside_bound_vec` before ever reaching this function."""
     approximation = np.asarray(approximation, dtype=np.float64)
     real = np.asarray(real, dtype=np.float64)
-    num = np.abs(real - approximation) * 100.0
-    err = np.full(num.shape, np.inf)
-    np.divide(num, np.abs(real), out=err, where=(real != 0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        err = np.abs((real - approximation) / real) * 100.0
     return np.where(approximation == real, 0.0, err)
 
 

@@ -66,9 +66,16 @@ def decode_dense_matrix(
     lengths = np.asarray(lengths, dtype=np.int64)
     if n == 0:
         return np.zeros((0, 0), dtype=np.float32)
+    mtids = np.asarray(mtids)
+    bad = ~np.isin(mtids, (MTID_GORILLA, MTID_RAW))
+    if bad.any():
+        # fail loudly like the scalar decode_values — silent all-zero
+        # rows must never flow into rollups
+        raise ValueError(
+            f"decode_dense_matrix: non-dense mtid(s) {sorted(set(mtids[bad].tolist()))}"
+        )
     max_n = int(lengths.max())
     out = np.zeros((n, max_n), dtype=np.float32)
-    mtids = np.asarray(mtids)
     gor = np.flatnonzero(mtids == MTID_GORILLA)
     if gor.size:
         from modelardb_spark.models.gorilla import gorilla_decompress_matrix

@@ -121,8 +121,18 @@ def _fit_group_run(
     pos = 0  # timestamp index
     while pos < n_ts:
         rest = inter[pos * n_mem :]
-        # PMC: shared constant within bound of every member value
-        p = pmc_prefix(rest, error_bound)
+        # PMC: shared constant within bound of every member value.
+        # Doubling-window prefix search (cascade._pmc_candidate
+        # pattern): a short segment scans one small window instead of
+        # the whole remaining run every iteration (O(run) total, not
+        # O(run^2)).
+        limit = 128
+        while True:
+            window = rest[: min(limit, rest.size)]
+            p = pmc_prefix(window, error_bound)
+            if p < window.size or window.size == rest.size:
+                break
+            limit *= 2
         p_n = (p // n_mem) * n_mem
         pmc_ratio = (
             _ratio(p_n, 4.0 + gap_bytes) if p_n >= n_mem else float("nan")
@@ -350,11 +360,16 @@ _POINT_SCHEMA = StructType(
 
 
 def _decode_member_batch(pdf: pd.DataFrame):
-    """Whole-batch decode of exploded dense group members: one lockstep
-    pass over the interleaved payloads, then a strided gather per
-    member — returns (member_matrix (S, max_ts), n_ts, start, si)."""
+    """Whole-batch decode of exploded dense group members: the
+    interleaved payload of each UNIQUE segment decodes once (members
+    exploded from one group row arrive consecutively, so consecutive
+    (conv_id, start, end) runs collapse; a non-adjacent duplicate only
+    costs a redundant decode, never correctness), then a strided
+    gather per member — returns (member_matrix (S, max_ts), n_ts,
+    start, si)."""
     from modelardb_spark.models.segment import decode_dense_matrix
 
+    conv = pdf["conv_id"].to_numpy()
     start = pdf["start_ms"].to_numpy().astype(np.int64)
     end = pdf["end_ms"].to_numpy().astype(np.int64)
     si = pdf["interval_ms"].to_numpy().astype(np.int64)
@@ -362,11 +377,24 @@ def _decode_member_batch(pdf: pd.DataFrame):
     goff = pdf["goff"].to_numpy().astype(np.int64)
     n_ts = (end - start) // si + 1
     totals = n_ts * gsize
-    mat = decode_dense_matrix(pdf["mtid"].to_numpy(), list(pdf["model"]), totals)
+
+    first = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        first[1:] = (
+            (conv[1:] != conv[:-1])
+            | (start[1:] != start[:-1])
+            | (end[1:] != end[:-1])
+        )
+    uniq = np.flatnonzero(first)
+    seg_of_row = np.cumsum(first) - 1
+    models = list(pdf["model"])
+    mat = decode_dense_matrix(
+        pdf["mtid"].to_numpy()[uniq], [models[i] for i in uniq], totals[uniq]
+    )
     max_ts = int(n_ts.max()) if len(pdf) else 0
     cols = goff[:, None] + gsize[:, None] * np.arange(max_ts, dtype=np.int64)
     np.clip(cols, 0, mat.shape[1] - 1, out=cols)  # inactive tail lanes
-    member = np.take_along_axis(mat, cols, axis=1)
+    member = mat[seg_of_row[:, None], cols]
     return member, n_ts, start, si
 
 
@@ -485,19 +513,26 @@ def correlated_conversations(
     Returns (conv_id, grouped: bool)."""
     # Pearson via try_divide: a zero-variance member makes the
     # correlation undefined (ANSI mode raises on F.corr's internal
-    # division) -> NULL -> routed per-series
-    pairs = [
-        F.try_divide(
-            F.covar_pop(metrics[i], metrics[j]),
-            F.stddev_pop(metrics[i]) * F.stddev_pop(metrics[j]),
+    # division) -> NULL. Each pair's predicate NULL-coalesces to False
+    # individually (F.least would SKIP nulls and let the other pairs
+    # outvote an undefined one), so ANY undefined pair routes the
+    # conversation per-series regardless of group size.
+    conds = [
+        F.coalesce(
+            F.try_divide(
+                F.covar_pop(metrics[i], metrics[j]),
+                F.stddev_pop(metrics[i]) * F.stddev_pop(metrics[j]),
+            )
+            >= threshold,
+            F.lit(False),
         )
         for i in range(len(metrics))
         for j in range(i + 1, len(metrics))
     ]
-    min_corr = pairs[0] if len(pairs) == 1 else F.least(*pairs)
-    return wide_series.groupBy("conv_id").agg(
-        (F.coalesce(min_corr, F.lit(-1.0)) >= threshold).alias("grouped")
-    )
+    grouped = conds[0]
+    for c in conds[1:]:
+        grouped = grouped & c
+    return wide_series.groupBy("conv_id").agg(grouped.alias("grouped"))
 
 
 def fit_segments_adaptive(

@@ -216,20 +216,61 @@ def lsh_buckets_multi(
     emb: DataFrame, bits: int = 8, tables: int = 8, seed: int = 42
 ) -> DataFrame:
     """(vec_id, tbl, bucket): multi-table LSH — `tables` independent
-    signatures per vector, computed in ONE map-only projection and
-    exploded. Multi-table is the recall lever: a near pair only needs
-    to collide in one table."""
-    dim = len(emb.select("embedding").first()[0])
-    cols = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _bucket_expr(hyperplanes(dim, bits, table_seed(seed, t))).alias("bucket"),
-        )
-        for t in range(tables)
-    ]
-    return emb.select("vec_id", F.explode(F.array(*cols)).alias("tb")).select(
-        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    signatures per vector, computed in ONE map-only pass. Multi-table
+    is the recall lever: a near pair only needs to collide in one
+    table.
+
+    Physical shape: all tables' hyperplanes form one broadcast
+    (tables*bits, dim) matrix; a vectorized mapInPandas computes every
+    projection as a single BLAS block matmul (the tables*bits chained
+    JVM fold expressions this replaces generated pathological
+    whole-stage-codegen compile times). Sign parity with the oracle's
+    left-to-right list_reduce holds because projections are O(0.1-10)
+    while cross-summation-order error is ~1e-13 — verified empirically
+    on the driver datasets by the oracle hash checks."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    dim = len(emb.select("embedding").first()[0])
+    planes = np.array(
+        [
+            hyperplanes(dim, bits, table_seed(seed, t))
+            for t in range(tables)
+        ],
+        dtype=np.float64,
+    ).reshape(tables * bits, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    bq = emb.sparkSession.sparkContext.broadcast((planes, weights, tables, bits))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("tbl", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        m_p, w, n_t, n_b = bq.value
+        for pdf in batches:
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            proj = block @ m_p.T  # (rows, tables*bits)
+            sig = ((proj > 0).reshape(-1, n_t, n_b) * w).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, n_t),
+                    "tbl": np.tile(np.arange(n_t, dtype=np.int32), vid.size),
+                    "bucket": sig.ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
 
 
 def embedding_near_dup(
@@ -390,7 +431,10 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = base.select(
+    # query embeddings come from the QUERIES frame (they may not exist
+    # in the corpus; a corpus lookup would silently drop or mis-score
+    # external queries)
+    q = with_norm(queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("eq"),
         F.col("norm").alias("nq"),

@@ -100,13 +100,17 @@ def stream_transcripts_socket(
     "java" date parser), else parsed with the given pattern. Returns an
     unbounded streaming DataFrame in TRANSCRIPT_SCHEMA shape, ready for
     the same foreachBatch ingest as the file-drop stream."""
+    import re
+
     lines = (
         spark.readStream.format("socket")
         .option("host", host)
         .option("port", port)
         .load()
     )
-    parts = F.split(F.col("value"), sep)
+    # F.split takes a Java regex: escape the separator so '|', '.'
+    # etc. split on the literal character, not the regex meaning
+    parts = F.split(F.col("value"), re.escape(sep))
     ts_raw = parts.getItem(5)
     ts = (
         F.timestamp_millis(ts_raw.cast("long"))

@@ -216,3 +216,23 @@ def test_ivf_topk_approximates_brute_force(spark, sf_small):
     # probing 4/16 cells should recover a solid share of true neighbors
     overlap = len(brute & approx) / len(brute)
     assert overlap >= 0.3
+
+
+def test_lsh_projection_sign_margin(spark, sf_small):
+    """Cross-engine bucket parity (NumPy matmul vs DuckDB's
+    left-to-right list_reduce) relies on every |projection| being far
+    above the summation-order error (~1e-13). Assert the margin on the
+    fixture for every hyperplane table the driver queries use."""
+    from modelardb_spark.operators.similarity import hyperplanes, table_seed
+
+    emb = load_embeddings(spark, sf_small)
+    m = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    dim = m.shape[1]
+    planes = [hyperplanes(dim, 6, 42)]  # lsh_topk single table
+    planes += [hyperplanes(dim, 8, table_seed(42, t)) for t in range(8)]
+    p = np.array([row for tbl in planes for row in tbl])
+    margin = np.abs(m @ p.T).min()
+    assert margin > 1e-9, margin
