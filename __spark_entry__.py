@@ -483,6 +483,18 @@ def _q_derived_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("conv_id", "metric", "bin_ms", "value")
 
 
+def _q_derived_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived series sharing the SOURCE's segments (the reference's
+    groupDerivedCache / explode fan-out, SegmentGroup.java:113-124):
+    the x10 tier is an algebraic transform of the base rollup — zero
+    extra fit, zero reconstruction, zero storage."""
+    from modelardb_spark.operators.transform import derived_rollup
+
+    r1h = rollup_from_segments(_segments(spark, sf_dir), HOUR_MS)
+    d = derived_rollup(r1h, {"turn_rate_x10": ("turn_rate", 10.0)})
+    return _std_rollup(d)
+
+
 def _q_scaled_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series scaling metadata applied at read time (the
     reference's time_series table + scaling-factor cache,
@@ -951,6 +963,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lossy_bound_violations": _q_lossy_bound_violations,
         "windowed_rollup": _q_windowed_rollup,
         "derived_series": _q_derived_series,
+        "derived_rollup_1h": _q_derived_rollup_1h,
         "scaled_series": _q_scaled_series,
         "rollup_1h_lossy": _q_rollup_1h_lossy,  # rows-only (lossy)
         "compression_stats": _q_compression_stats,  # rows-only
@@ -1188,6 +1201,22 @@ UNION ALL
 SELECT conv_id, 'turn_rate_x10' AS metric, bin_ms,
        CAST(CAST(value AS DOUBLE) * 10.0 AS FLOAT) AS value
 FROM series WHERE metric = 'turn_rate'
+"""
+        ),
+        "derived_rollup_1h": (
+            "WITH "
+            + _SQL_SERIES
+            + """
+SELECT conv_id, 'turn_rate_x10' AS metric,
+       (bin_ms // 3600000) * 3600000 AS window_ms,
+       COUNT(*) AS cnt,
+       CAST(MIN(value) AS DOUBLE) * 10.0 AS vmin,
+       CAST(MAX(value) AS DOUBLE) * 10.0 AS vmax,
+       SUM(CAST(value AS DOUBLE)) * 10.0 AS vsum,
+       (SUM(CAST(value AS DOUBLE)) / COUNT(*)) * 10.0 AS mean
+FROM series
+WHERE metric = 'turn_rate'
+GROUP BY 1, 2, 3
 """
         ),
         "scaled_series": (

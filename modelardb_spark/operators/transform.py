@@ -30,6 +30,42 @@ def scale_series(series: DataFrame, scaling_factor: float) -> DataFrame:
     )
 
 
+def derived_rollup(
+    rollup: DataFrame, derived: dict[str, tuple[str, float]]
+) -> DataFrame:
+    """Rollup tiers for LINEARLY derived series with no refit and no
+    reconstruction: the reference shares the SOURCE series' segments
+    with the derived tid (groupDerivedCache, SegmentGroup.java:113-124
+    explode fan-out), so a derived series costs zero storage; for a
+    linear transform ``new = scale * base`` the windowed aggregates
+    themselves transform algebraically (cnt unchanged; min/max/sum/mean
+    scaled — min/max swap when scale < 0).
+
+    ``derived[new_metric] = (base_metric, scale)``; returns ONLY the
+    derived tiers (union with the base rollup as needed)."""
+    outs = []
+    for new_metric, (base, scale) in sorted(derived.items()):
+        src = rollup.where(F.col("metric") == base)
+        lo = F.col("vmin") * scale if scale >= 0 else F.col("vmax") * scale
+        hi = F.col("vmax") * scale if scale >= 0 else F.col("vmin") * scale
+        outs.append(
+            src.select(
+                "conv_id",
+                F.lit(new_metric).alias("metric"),
+                "window_ms",
+                "cnt",
+                lo.alias("vmin"),
+                hi.alias("vmax"),
+                (F.col("vsum") * scale).alias("vsum"),
+                (F.col("mean") * scale).alias("mean"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def time_series_metadata(
     series: DataFrame, scaling: dict[tuple[str, str], float] | None = None
 ) -> DataFrame:

@@ -166,3 +166,24 @@ def test_stream_ingest_socket(spark, tmp_path):
     # every 3rd turn used a tool -> 40 tool events per conv
     assert got[("sa", "tool_usage")] == 40.0
     assert got[("sb", "tool_usage")] == 40.0
+
+
+def test_socket_parser_regex_separator(spark):
+    """The socket line parser must treat the separator literally (F.split
+    takes a Java regex — '|' would otherwise split every character)."""
+    from modelardb_spark.sources.readers import stream_transcripts_socket
+    import re
+
+    # unit-check the column expressions on a static frame via the same
+    # parsing logic (the socket source itself is covered end-to-end by
+    # test_stream_ingest_socket)
+    df = spark.createDataFrame([("c1|0|user|hi there|click|1704067200000",)], "value string")
+    parts = F.split(F.col("value"), re.escape("|"))
+    row = df.select(
+        parts.getItem(0).alias("conv_id"),
+        parts.getItem(1).cast("int").alias("turn_idx"),
+        parts.getItem(3).alias("text"),
+        parts.getItem(5).cast("long").alias("ts_ms"),
+    ).first()
+    assert row["conv_id"] == "c1" and row["turn_idx"] == 0
+    assert row["text"] == "hi there" and row["ts_ms"] == 1704067200000
