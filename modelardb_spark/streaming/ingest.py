@@ -76,6 +76,46 @@ def stream_ingest(
     return writer.start()
 
 
+def compact_stream_segments(
+    spark: SparkSession, out_root: str, table: str = "segments"
+) -> int:
+    """Merge batch-keyed stream output (batch_id=N/part_day=D
+    partition dirs) into the canonical day-partitioned layout — the
+    reference merges its file-backed segment store every 10 batches
+    (storage/FileStorage.scala:350-351, write-then-rename :83-97); on
+    Iceberg this is `rewrite_data_files`. Returns the number of
+    compacted batch partitions.
+
+    Safe w.r.t. the stream: run between triggers (or after
+    availableNow termination). The swap is write-new, move-old-away,
+    rename-new — a crash between steps leaves either the old or the
+    new complete tree, never a mix."""
+    import os
+    import shutil
+
+    catalog = TableCatalog(out_root)
+    if not catalog.exists(table):
+        return 0
+    df = catalog.read(spark, table)
+    if "batch_id" not in df.columns:
+        return 0
+    n_batches = len(catalog.list_partitions(table, "batch_id"))
+    tmp = f"{table}__compact_tmp"
+    catalog.overwrite(
+        df.drop("batch_id").sortWithinPartitions("mtid", "conv_id", "start_ms"),
+        tmp,
+        ["part_day"],
+    )
+    src, dst = catalog.path(table), catalog.path(tmp)
+    old = catalog.path(f"{table}__pre_compact")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(src, old)
+    os.rename(dst, src)
+    shutil.rmtree(old)
+    return n_batches
+
+
 def stream_ingest_socket(
     spark: SparkSession,
     host: str,

@@ -187,3 +187,45 @@ def test_socket_parser_regex_separator(spark):
     ).first()
     assert row["conv_id"] == "c1" and row["turn_idx"] == 0
     assert row["text"] == "hi there" and row["ts_ms"] == 1704067200000
+
+
+def test_compact_stream_segments(spark, transcripts, tmp_path):
+    """Compaction folds batch-keyed stream output into the canonical
+    day-partitioned layout: identical reconstruction, no batch_id
+    partitions left (FileStorage merge / rewrite_data_files analogue)."""
+    from modelardb_spark.streaming.ingest import compact_stream_segments
+
+    in_dir = str(tmp_path / "cdrops")
+    os.makedirs(in_dir)
+    day_ms = 86_400_000
+    t_with_day = transcripts.withColumn(
+        "day", (F.unix_millis(F.col("ts").cast("timestamp")) / day_ms).cast("long")
+    )
+    days = sorted(r[0] for r in t_with_day.select("day").distinct().collect())
+    half = days[: len(days) // 2]
+    t_with_day.where(F.col("day").isin(half)).drop("day").write.parquet(
+        f"{in_dir}/drop1.parquet"
+    )
+    t_with_day.where(~F.col("day").isin(half)).drop("day").write.parquet(
+        f"{in_dir}/drop2.parquet"
+    )
+    out_root = str(tmp_path / "cout")
+    q = stream_ingest(spark, f"{in_dir}/*.parquet", out_root, EngineConfig())
+    q.awaitTermination(120)
+
+    catalog = TableCatalog(out_root)
+    before = {
+        tuple(r)
+        for r in grid(catalog.read(spark, "segments")).collect()
+    }
+    assert catalog.list_partitions("segments", "batch_id")  # fragmented
+
+    n = compact_stream_segments(spark, out_root)
+    assert n >= 1
+    seg = catalog.read(spark, "segments")
+    assert "batch_id" not in seg.columns
+    assert catalog.list_partitions("segments", "part_day")  # canonical
+    after = {tuple(r) for r in grid(seg).collect()}
+    assert after == before
+    # idempotent: second call is a no-op
+    assert compact_stream_segments(spark, out_root) == 0
