@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the scale-design claims hold in the
+actual Catalyst plans, not just in docstrings.
+
+- column pruning reaches the parquet scan (a 2-column projection must
+  not read the text payload);
+- dimension predicates route through a broadcast join (never a
+  shuffle of the fact side);
+- segment-bound restriction pushes min/max filters into the parquet
+  scan of a stored segments table;
+- the rollup aggregation is a partial/final hash aggregate pair (one
+  exchange), not a sort-based or multi-exchange plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.operators.fit import fit_segments_wide
+from modelardb_spark.operators.grid import restrict
+from modelardb_spark.operators.rollup import HOUR_MS, rollup_from_segments
+from modelardb_spark.operators.series import derive_series_wide
+from modelardb_spark.operators.transcripts import transcripts_from_events
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_series_scan_prunes_text_columns(spark, sf_small):
+    """Deriving series needs (user_id, ts, event_type); the scan's
+    ReadSchema must not include the text payload column."""
+    series = derive_series_wide(
+        transcripts_from_events(spark, sf_small), EngineConfig()
+    )
+    plan = _plan(series)
+    scan = plan[plan.index("ReadSchema"):][:400]
+    assert "props" not in scan, scan
+    assert "ts" in scan
+
+
+def test_dim_restrict_is_broadcast(spark, sf_small):
+    from modelardb_spark.operators.dimensions import (
+        conversation_dimensions,
+        dim_restrict,
+    )
+
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    dims = conversation_dimensions(seg)
+    plan = _plan(dim_restrict(seg, dims, channel="web"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the fact side must NOT be exchanged for the join
+    join_part = plan[: plan.index("Broadcast")]
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_restrict_pushes_bounds_to_parquet(spark, sf_small, tmp_path):
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "segtable")
+    seg.write.parquet(p)
+    stored = spark.read.parquet(p)
+    plan = _plan(restrict(stored, 1_704_672_000_000, 1_705_276_799_999))
+    pushed = plan[plan.index("PushedFilters"):][:300]
+    assert "end_ms" in pushed and "start_ms" in pushed, pushed
+
+
+def test_rollup_is_single_hash_agg_pair(spark, sf_small, tmp_path):
+    """From a STORED segments table, the 1h rollup plan is scan ->
+    map-side partials -> ONE exchange -> final hash aggregate; no
+    sort-aggregate, no extra exchange."""
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "segtable2")
+    seg.write.parquet(p)
+    stored = spark.read.parquet(p)
+    plan = _plan(rollup_from_segments(stored, HOUR_MS))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    # one exchange for the final aggregation (the union's two branches
+    # feed the same hash partitioning); AQE may render it as one node
+    assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
+        "Exchange hashpartitioning"
+    )
