@@ -13,7 +13,7 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 2): 39 queries — 36 with exact DuckDB oracles, 3
+Coverage (round 2): 41 queries — 38 with exact DuckDB oracles, 3
 rows-only (rollup_1h_lossy: lossy results are engine-defined, but its
 bound is hard-checked by the oracled lossy_bound_violations empty-set
 query; compression_stats / group_compression_stats: no segments table
@@ -575,6 +575,23 @@ def _q_adaptive_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _std_rollup(rollup_adaptive(g, p, HOUR_MS))
 
 
+def _q_dynamic_group_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic group split/join (SegmentGenerator.java:296-351): the
+    group/per-series decision is re-made per conversation-DAY, so a
+    conversation joins the group on days its metrics correlate and
+    splits on days they don't; the 1h tier over the union must still
+    equal the raw rollup exactly at bound 0."""
+    from modelardb_spark.operators.groupfit import (
+        fit_segments_adaptive,
+        rollup_adaptive,
+    )
+    from modelardb_spark.operators.series import derive_series_wide
+
+    wide = derive_series_wide(transcripts_from_events(spark, sf_dir), CFG)
+    g, p = fit_segments_adaptive(wide, CFG, per_day=True)
+    return _std_rollup(rollup_adaptive(g, p, HOUR_MS))
+
+
 def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression accounting for the group path (rows-only check; the
     group-vs-per-series win is asserted in
@@ -974,6 +991,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "group_rollup_1h": _q_group_rollup_1h,
         "group_data_points": _q_group_data_points,
         "adaptive_rollup_1h": _q_adaptive_rollup_1h,
+        "dynamic_group_rollup_1h": _q_dynamic_group_rollup_1h,
         "group_compression_stats": _q_group_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
@@ -1028,6 +1046,7 @@ WHERE n.next_ms IS NOT NULL
         "rollup_1d": _sql_raw_rollup(DAY_MS),
         "group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "adaptive_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "dynamic_group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "sql_surface_agg": (
             "WITH "
             + _SQL_SERIES

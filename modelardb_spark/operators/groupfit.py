@@ -501,16 +501,24 @@ def correlated_conversations(
     wide_series: DataFrame,
     metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
     threshold: float = 0.2,
+    per_day: bool = False,
 ) -> DataFrame:
-    """Group-formation decision per conversation — the reference forms
-    groups from static correlation clauses evaluated at startup
+    """Group-formation decision — the reference forms groups from
+    static correlation clauses evaluated at startup
     (core/Correlation.java:40-45: by source, by dimension members, by
     LCA level, by dimension distance; applied in
     core/Partitioner.java:95-124). Spark-first modernization: measure
     the actual Pearson correlation of the member series (one hash
     aggregate) and group when it clears the threshold — the
     data-driven analogue of the reference's `distance` clause.
-    Returns (conv_id, grouped: bool)."""
+
+    With per_day=True the decision is per (conv_id, salt-day) — the
+    analogue of the reference's DYNAMIC group split/join
+    (SegmentGenerator.java:296-351: split a group whose emitted
+    segments compress poorly, rejoin when correlation returns): a
+    conversation compresses as a group exactly on the days its members
+    move together. Returns (conv_id[, salt], grouped: bool)."""
+    keys = ["conv_id"] + (["salt"] if per_day else [])
     # Pearson via try_divide: a zero-variance member makes the
     # correlation undefined (ANSI mode raises on F.corr's internal
     # division) -> NULL. Each pair's predicate NULL-coalesces to False
@@ -532,7 +540,7 @@ def correlated_conversations(
     grouped = conds[0]
     for c in conds[1:]:
         grouped = grouped & c
-    return wide_series.groupBy("conv_id").agg(grouped.alias("grouped"))
+    return wide_series.groupBy(*keys).agg(grouped.alias("grouped"))
 
 
 def fit_segments_adaptive(
@@ -540,17 +548,31 @@ def fit_segments_adaptive(
     cfg: EngineConfig = DEFAULT_CONFIG,
     metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
     threshold: float = 0.2,
+    per_day: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Route each conversation to GROUP or PER-SERIES fitting by
-    measured correlation (Partitioner.java:95-124 group formation).
+    """Route each conversation (or, with per_day=True, each
+    conversation-day — the dynamic split/join analogue) to GROUP or
+    PER-SERIES fitting by measured correlation (Partitioner.java:95-124
+    group formation; SegmentGenerator.java:296-351 dynamic split).
     Returns (group_segments, per_series_segments); at error bound 0
     both reconstruct exactly, so routing only moves the compression
-    ratio, never correctness."""
+    ratio, never correctness. Segments never span a salt day, so
+    per-day routing cannot split a segment."""
     from modelardb_spark.operators.fit import fit_segments_wide
 
-    routed = wide_series.join(
-        correlated_conversations(wide_series, metrics, threshold), "conv_id"
-    )
+    if per_day:
+        salt_ms = cfg.salt_days * 86_400_000
+        keyed = wide_series.withColumn(
+            "salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long")
+        )
+        routed = keyed.join(
+            correlated_conversations(keyed, metrics, threshold, per_day=True),
+            ["conv_id", "salt"],
+        ).drop("salt")
+    else:
+        routed = wide_series.join(
+            correlated_conversations(wide_series, metrics, threshold), "conv_id"
+        )
     g = fit_segments_grouped(
         routed.where(F.col("grouped")).drop("grouped"), cfg, metrics
     )
