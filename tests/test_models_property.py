@@ -62,3 +62,66 @@ def test_gorilla_lossless(values):
     v = np.array(values, dtype=np.float32)
     out = gorilla_decompress(gorilla_compress(v), v.size)
     np.testing.assert_array_equal(v.view(np.uint32), out.view(np.uint32))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), finite_f32), st.one_of(st.none(), finite_f32)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.lists(st.booleans(), min_size=0, max_size=79),
+)
+def test_group_fit_roundtrip_property(rows, gaps_between):
+    """Arbitrary 2-member group runs with arbitrary per-member gaps
+    (None values) and arbitrary time gaps: fitting as a group and
+    decoding every member via the stride must reproduce exactly the
+    non-NaN inputs — point for point, member for member."""
+    import pandas as pd
+
+    from modelardb_spark.operators.groupfit import (
+        _fit_group_batches,
+        decode_group_values,
+    )
+
+    # build the wide frame with optional >1-bin jumps between rows
+    bins = []
+    cur = 0
+    for i in range(len(rows)):
+        bins.append(cur)
+        step = 2 if i < len(gaps_between) and gaps_between[i] else 1
+        cur += step * INTERVAL
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * len(rows),
+            "salt": [0] * len(rows),
+            "bin_ms": bins,
+            "m0": [r[0] for r in rows],
+            "m1": [r[1] for r in rows],
+        }
+    )
+    run = _fit_group_batches(("m0", "m1"), 0.0, 50, INTERVAL)
+    frames = list(run(iter([pdf])))
+    segs = pd.concat(frames, ignore_index=True) if frames else None
+    out = {0: {}, 1: {}}
+    if segs is not None and len(segs):
+        for row in segs.itertuples(index=False):
+            n_ts = int((row.end_ms - row.start_ms) // INTERVAL) + 1
+            for goff, tid in enumerate(row.tids):
+                vals = decode_group_values(
+                    row.mtid, row.model, n_ts, row.group_size, goff
+                )
+                for j in range(n_ts):
+                    b = row.start_ms + j * INTERVAL
+                    assert b not in out[tid], "duplicate coverage"
+                    out[tid][b] = float(vals[j])
+    for tid, col in ((0, "m0"), (1, "m1")):
+        want = {
+            int(b): float(np.float32(v))
+            for b, v in zip(pdf["bin_ms"], pdf[col])
+            if v is not None and not (isinstance(v, float) and np.isnan(v))
+        }
+        assert out[tid] == want
