@@ -76,6 +76,81 @@ def stream_ingest(
     return writer.start()
 
 
+def stream_rollup_1m(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Late-data-tolerant STREAMING rollup of the finest tier — a
+    Spark-native capability beyond the reference (which assumes
+    in-order arrival and has no watermark machinery,
+    TimeSeriesGroup.java:153-176): transcript drops stream through an
+    event-time window aggregate with a watermark, so turns arriving up
+    to `watermark` late still land in their correct 1-minute bin;
+    bins seal when the watermark passes and append exactly one final
+    row each (append output mode).
+
+    Output rows match the batch rollup_1m schema
+    (conv_id, metric, window_ms, cnt, vmin, vmax, vsum, mean) — the
+    sealed tier feeds the same cascade (rollup_cascade) as batch
+    tiers. State is bounded by the watermark horizon; partitioning is
+    the same (conv_id x window) key space as the batch path."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    iv_sec = cfg.interval_ms // 1000
+    binned = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.col("conv_id"),
+            F.window("ts", f"{iv_sec} seconds").alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("float").alias("turn_rate"),
+            F.count(F.col("tool")).cast("float").alias("tool_usage"),
+        )
+    )
+    tier = binned.select(
+        "conv_id",
+        F.expr(
+            "stack(2, 'turn_rate', turn_rate, 'tool_usage', tool_usage)"
+            " as (metric, v)"
+        ),
+        F.unix_millis("win.start").alias("window_ms"),
+    ).select(
+        "conv_id",
+        "metric",
+        "window_ms",
+        F.lit(1).cast("long").alias("cnt"),
+        F.col("v").alias("vmin"),
+        F.col("v").alias("vmax"),
+        F.col("v").cast("double").alias("vsum"),
+        F.col("v").cast("double").alias("mean"),
+    )
+    writer = (
+        tier.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_root}/rollup_1m_stream")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{out_root}/_rollup_stream_checkpoint",
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def compact_stream_segments(
     spark: SparkSession, out_root: str, table: str = "segments"
 ) -> int:

@@ -229,3 +229,55 @@ def test_compact_stream_segments(spark, transcripts, tmp_path):
     assert after == before
     # idempotent: second call is a no-op
     assert compact_stream_segments(spark, out_root) == 0
+
+
+def test_stream_rollup_watermark_late_data(spark, tmp_path):
+    """Streaming 1m tier with a watermark: a turn arriving in a LATER
+    micro-batch but within the watermark still lands in its (earlier)
+    bin; bins seal and append exactly once when the watermark passes;
+    bins at the stream head stay open (never emitted prematurely)."""
+    from datetime import datetime, timezone
+
+    from modelardb_spark.streaming.ingest import stream_rollup_1m
+
+    base = 1_704_067_200_000
+    m = 60_000
+
+    def turns(items):
+        return spark.createDataFrame(
+            [
+                (c, i, "user", "t", None,
+                 datetime.fromtimestamp((base + b * m) / 1000, tz=timezone.utc))
+                for i, (c, b) in enumerate(items)
+            ],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    in_dir = str(tmp_path / "wdrops")
+    os.makedirs(in_dir)
+    # drop 1: bins 0..9, two turns each
+    d1 = turns([("c1", b) for b in range(10) for _ in range(2)])
+    d1.coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+    # drop 2 (later batch): ONE LATE turn for bin 1 (within the 10-min
+    # watermark) + far-future turns at bin 30 that advance the
+    # watermark to bin 20, sealing bins 0..9
+    d2 = turns([("c1", 1)] + [("c1", 30) for _ in range(2)])
+    d2.coalesce(1).write.parquet(f"{in_dir}/d2.parquet")
+
+    out_root = str(tmp_path / "wout")
+    q = stream_rollup_1m(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        watermark="10 minutes", max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["metric"], r["window_ms"]): r["vsum"]
+        for r in spark.read.parquet(f"{out_root}/rollup_1m_stream").collect()
+    }
+    # all sealed bins present exactly once, late turn merged into bin 1
+    assert got[("turn_rate", base + 1 * m)] == 3.0
+    for b in [0] + list(range(2, 10)):
+        assert got[("turn_rate", base + b * m)] == 2.0
+    # the stream-head bin (30) is beyond the final watermark: not sealed
+    assert ("turn_rate", base + 30 * m) not in got
