@@ -25,6 +25,11 @@ ENGINE_CONF: dict[str, str] = {
     # keep Arrow batches large enough to amortize per-batch Python cost
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.compression.codec": "zstd",
+    # Spark 4.1's ChecksumCheckpointFileManager awaits an async checksum
+    # write that never completes for applyInPandasWithState's state
+    # store on local filesystems — commits hang indefinitely. Checksums
+    # off restores the (still atomic rename-based) checkpoint behavior.
+    "spark.sql.streaming.checkpointFileChecksum.enabled": "false",
 }
 
 

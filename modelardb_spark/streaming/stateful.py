@@ -1,0 +1,188 @@
+"""Stateful streaming fit: segments that SPAN micro-batches.
+
+The plain foreachBatch ingest (streaming/ingest.py) fits each batch
+independently, which requires drops to be bin-aligned per conversation
+— a segment can never cross a batch boundary. This module removes that
+contract with `applyInPandasWithState`: per-conversation state carries
+the OPEN run (the reference's "temporary segment" notion,
+SparkCache.scala:27-213 / SegmentGenerator's unemitted buffer) across
+batches, and a run only finalizes — deterministically, with exactly
+the segments the batch fit would produce — when the gap/salt protocol
+closes it:
+
+- a turn bin more than one interval after the run's tail closes the
+  run (gap, SegmentGenerator.java:131-148);
+- a salt-day boundary closes it (fit-unit bound, same as batch);
+- an idle-conversation timeout closes it (the analogue of the
+  reference's maximum_latency flush, Configuration latency knob).
+
+Because finalization happens only at protocol closures, the emitted
+segments are IDENTICAL to a batch fit over the concatenated input —
+asserted by tests/test_stateful_streaming.py with drops that split
+mid-run and mid-bin. In-order arrival per conversation is still
+assumed (the reference's contract; late data is served by the
+watermarked tier in streaming/ingest.py::stream_rollup_1m).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
+from modelardb_spark.operators.fit import SEGMENT_SCHEMA, _fit_sorted_block, _flush
+from modelardb_spark.sources.readers import TRANSCRIPT_SCHEMA
+
+#: open-run state per conversation: parallel arrays of the bins not
+#: yet finalized (one value per metric column)
+_STATE_SCHEMA = (
+    "bins array<long>, turn_rate array<double>, tool_usage array<double>"
+)
+
+
+def _fit_closed(conv: str, bins, tr, tu, cfg: EngineConfig) -> pd.DataFrame | None:
+    """Fit a CLOSED run list (may contain several gap-separated runs)
+    through the same vectorized block fitter as the batch path."""
+    if not len(bins):
+        return None
+    out: dict[str, list] = {c: [] for c in [f.name for f in SEGMENT_SCHEMA.fields]}
+    bins = np.asarray(bins, dtype=np.int64)
+    salt_ms = cfg.salt_days * 86_400_000
+    salt = bins // salt_ms
+    conv_arr = np.full(bins.size, conv, dtype=object)
+    for metric, vals in (("turn_rate", tr), ("tool_usage", tu)):
+        v = np.asarray(vals, dtype=np.float32)
+        keep = ~np.isnan(v)
+        _fit_sorted_block(
+            conv_arr[keep],
+            np.full(int(keep.sum()), metric, dtype=object),
+            salt[keep],
+            bins[keep],
+            v[keep],
+            cfg.error_bound,
+            cfg.length_bound,
+            cfg.interval_ms,
+            out,
+        )
+    return _flush(out, cfg.interval_ms)
+
+
+def _stateful_fit(cfg: EngineConfig, flush_after_ms: int):
+    iv = cfg.interval_ms
+    salt_ms = cfg.salt_days * 86_400_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv = key[0]
+        if state.hasTimedOut:
+            # idle flush: the open run finalizes (maximum_latency analogue)
+            bins, tr, tu = state.get
+            state.remove()
+            df = _fit_closed(conv, bins, tr, tu, cfg)
+            if df is not None:
+                yield df
+            return
+
+        # bin the batch's turns (in-order contract per conversation)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        # unit-explicit conversion (Arrow may hand ns- or us-resolution)
+        ts_ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        b = (ts_ms // iv) * iv
+        tool = pdf["tool"].notna().to_numpy()
+        order = np.argsort(b, kind="stable")
+        b = b[order]
+        tool = tool[order]
+        edges = np.concatenate(([0], np.flatnonzero(np.diff(b)) + 1))
+        nb = b[edges]
+        ntr = np.diff(np.concatenate((edges, [b.size]))).astype(np.float64)
+        ntu = np.add.reduceat(tool.astype(np.float64), edges)
+
+        if state.exists:
+            ob, otr, otu = state.get
+            ob = np.asarray(ob, dtype=np.int64)
+            otr = np.asarray(otr, dtype=np.float64)
+            otu = np.asarray(otu, dtype=np.float64)
+            if ob.size and nb.size and nb[0] == ob[-1]:
+                # a bin spanning two batches merges its counts
+                otr[-1] += ntr[0]
+                otu[-1] += ntu[0]
+                nb, ntr, ntu = nb[1:], ntr[1:], ntu[1:]
+            bins = np.concatenate((ob, nb))
+            tr = np.concatenate((otr, ntr))
+            tu = np.concatenate((otu, ntu))
+        else:
+            bins, tr, tu = nb, ntr, ntu
+
+        # the OPEN tail = the final gap-free, single-salt run; everything
+        # before its start is protocol-closed and finalizes now
+        closed_upto = 0
+        if bins.size > 1:
+            brk = (np.diff(bins) > iv) | (
+                (bins[1:] // salt_ms) != (bins[:-1] // salt_ms)
+            )
+            idx = np.flatnonzero(brk)
+            if idx.size:
+                closed_upto = int(idx[-1]) + 1
+        if closed_upto:
+            df = _fit_closed(
+                conv, bins[:closed_upto], tr[:closed_upto], tu[:closed_upto], cfg
+            )
+            if df is not None:
+                yield df
+        state.update(
+            (
+                bins[closed_upto:].tolist(),
+                tr[closed_upto:].tolist(),
+                tu[closed_upto:].tolist(),
+            )
+        )
+        state.setTimeoutDuration(flush_after_ms)
+
+    return fn
+
+
+def stream_ingest_stateful(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    checkpoint_dir: str | None = None,
+    flush_after_ms: int = 60_000,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming ingest whose segments span micro-batches: turns group
+    by conv_id into `applyInPandasWithState`; the open run rides in
+    state until the gap/salt protocol (or an idle timeout) closes it.
+    Finalized segments append to `{out_root}/segments_stream`."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    turns = stream.select("conv_id", F.col("ts").cast("timestamp").alias("ts"), "tool")
+    segs = turns.groupBy("conv_id").applyInPandasWithState(
+        _stateful_fit(cfg, flush_after_ms),
+        outputStructType=SEGMENT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        segs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_root}/segments_stream")
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{out_root}/_stateful_checkpoint",
+        )
+        .start()
+    )

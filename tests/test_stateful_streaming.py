@@ -1,0 +1,104 @@
+"""Stateful streaming fit: segments must SPAN micro-batches and come
+out IDENTICAL to a batch fit over the concatenated input — the
+temporary-segment machinery re-expressed on applyInPandasWithState."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.operators.fit import fit_segments
+from modelardb_spark.operators.series import derive_series
+from modelardb_spark.streaming.stateful import stream_ingest_stateful
+
+BASE = 1_704_067_200_000
+MIN = 60_000
+
+
+def _frame(spark, items):
+    """items: (conv, offset_ms, tool)."""
+    return spark.createDataFrame(
+        [
+            (c, i, "user", "t", tool,
+             datetime.fromtimestamp((BASE + off) / 1000, tz=timezone.utc))
+            for i, (c, off, tool) in enumerate(items)
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_segments_span_micro_batches(spark, tmp_path):
+    # conversation 'x': one 20-bin run with varying counts, split across
+    # drops MID-RUN and MID-BIN (bin 9 has turns in both drops); then a
+    # gap, a second 5-bin run, and a far-future sentinel that closes it.
+    items = []
+    for b in range(20):
+        items.append(("x", b * MIN, "click" if b % 3 == 0 else None))
+        if b % 2 == 0:
+            items.append(("x", b * MIN + 30_000, None))
+    run2 = [("x", (40 + b) * MIN, None) for b in range(5)]
+    sentinel = [("x", 10_000 * MIN, None)]
+
+    # split: first drop ends mid-bin-9 (the 30s turn of bin 9 goes to drop 2)
+    cut = next(i for i, (c, off, t) in enumerate(items) if off > 9 * MIN + 10)
+    drop1, drop2 = items[:cut], items[cut:] + run2 + sentinel
+
+    in_dir = str(tmp_path / "sdrops")
+    os.makedirs(in_dir)
+    _frame(spark, drop1).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+    _frame(spark, drop2).coalesce(1).write.parquet(f"{in_dir}/d2.parquet")
+
+    out_root = str(tmp_path / "sout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1,
+    )
+    # poll for the gap-closed segments (processAllAvailable can block on
+    # the timeout-cleanup triggers of an unbounded stateful stream)
+    import glob
+    import time as _time
+
+    want_rows = 4  # >= 2 metrics x 2 closed runs (all emit in one trigger)
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            files = glob.glob(f"{out_root}/segments_stream/part-*.parquet")
+            if files:
+                try:
+                    if spark.read.parquet(
+                        f"{out_root}/segments_stream"
+                    ).count() >= want_rows:
+                        break
+                except Exception:
+                    pass  # sink mid-commit; retry
+            _time.sleep(2)
+    finally:
+        q.stop()
+
+    got_df = spark.read.parquet(f"{out_root}/segments_stream")
+    sentinel_bin = (BASE + 10_000 * MIN) // MIN * MIN
+    got = {
+        (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"], r["mtid"],
+         bytes(r["model"]))
+        for r in got_df.collect()
+    }
+    # batch reference over the FULL input; the sentinel's own (still
+    # open in the stream) segments are excluded from the comparison
+    full = _frame(spark, drop1 + drop2)
+    want_df = fit_segments(derive_series(full), EngineConfig())
+    want = {
+        (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"], r["mtid"],
+         bytes(r["model"]))
+        for r in want_df.where(F.col("start_ms") < sentinel_bin).collect()
+    }
+    assert got == want
+    # the run that straddled the drops produced segments crossing the
+    # batch boundary (start before bin 9, end after): prove spanning
+    spanning = [s for s in got if s[2] <= 8 * MIN + BASE and s[3] >= 10 * MIN + BASE]
+    assert spanning, sorted(s[2:4] for s in got)
