@@ -184,31 +184,14 @@ def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(planes: list[list[float]]):
-    """Sign-of-projection signature as a pure JVM column expression:
-    one left-to-right `aggregate(zip_with(...))` fold per plane (same
-    evaluation order as the oracle's list_sum), inside whole-stage
-    codegen — no Python in the signature path."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return sig
-
-
 def lsh_buckets(emb: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
-    """(vec_id, bucket): single-table sign-of-projection signature."""
-    dim = len(emb.select("embedding").first()[0])
-    return emb.select(
-        "vec_id", _bucket_expr(hyperplanes(dim, bits, seed)).alias("bucket")
+    """(vec_id, bucket): single-table sign-of-projection signature —
+    one-table projection of `lsh_buckets_multi`, so every LSH path
+    computes signatures with the SAME arithmetic (one broadcast BLAS
+    matmul; sign parity with the oracle's left-to-right fold is pinned
+    by tests/test_traindata_ops.py::test_lsh_projection_sign_margin)."""
+    return lsh_buckets_multi(emb, bits, tables=1, seed=seed).select(
+        "vec_id", "bucket"
     )
 
 
