@@ -884,12 +884,15 @@ _SQL_COSINE = (
 
 def _sql_lsh_sigs(bits: int, tables: int, seed: int) -> str:
     """DuckDB CTEs reproducing `similarity.hyperplanes` +
-    `similarity._bucket_expr` exactly: plane component (i, j) of table
-    t is md5(f"{seed + 7919*t}:{i}:{j}")[:8] as a signed unit double,
-    and the projection is a strict left-to-right fold (list_reduce) —
-    the same evaluation order as the Spark-side
-    aggregate(zip_with(...)) fold, so the sign (i.e. the bucket) is
-    bit-identical across engines."""
+    `similarity.lsh_buckets_multi`: plane component (i, j) of table t
+    is md5(f"{seed + 7919*t}:{i}:{j}")[:8] as a signed unit double;
+    the projection here is a strict left-to-right fold (list_reduce)
+    while Spark computes a BLAS matmul — the summation ORDERS differ,
+    but the sign (i.e. the bucket) agrees because every projection's
+    magnitude is >= ~1e-5 on the fixtures versus ~1e-13 cross-order
+    float error (pinned by
+    tests/test_traindata_ops.py::test_lsh_projection_sign_margin, and
+    the Spark queries assert the fixture dim matches this SQL)."""
     return f"""
 planes AS (
   SELECT t.tbl, i.i,

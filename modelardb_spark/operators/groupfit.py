@@ -588,12 +588,26 @@ def rollup_adaptive(
     window_ms: int,
     metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
 ) -> DataFrame:
-    """Rollup over an adaptive fit: each conversation lives entirely in
-    one path, so the two aggregated tiers union without re-grouping."""
+    """Rollup over an adaptive fit. The union is RE-AGGREGATED: with
+    per-day routing a conversation may sit in the group path on one
+    day and per-series on the next, so a window spanning a routing
+    boundary has partial rows in both branches; the merge (sum/min/max
+    are associative over disjoint point sets) is exact for every
+    window width, not just salt-aligned ones."""
     from modelardb_spark.operators.rollup import rollup_from_segments
 
-    return rollup_from_group_segments(gseg, window_ms, metrics).unionByName(
+    u = rollup_from_group_segments(gseg, window_ms, metrics).unionByName(
         rollup_from_segments(pseg, window_ms)
+    )
+    return (
+        u.groupBy("conv_id", "metric", "window_ms")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
     )
 
 

@@ -13,15 +13,25 @@ closes it:
 - a turn bin more than one interval after the run's tail closes the
   run (gap, SegmentGenerator.java:131-148);
 - a salt-day boundary closes it (fit-unit bound, same as batch);
-- an idle-conversation timeout closes it (the analogue of the
-  reference's maximum_latency flush, Configuration latency knob).
+- an EVENT-TIME timeout closes it (the analogue of the reference's
+  maximum_latency flush): the timeout timestamp is the run's tail plus
+  `flush_after_ms`, so it fires only once the stream's WATERMARK has
+  passed that point — by the watermark contract no further rows for
+  those bins can arrive, making the flush final and duplicate-free.
+  (A processing-time timeout would be wrong here: an idle pause
+  shorter than the data's own timeline would finalize a mid-run —
+  even mid-bin — prefix, and later in-order turns would then open a
+  second segment covering the same bins.)
 
 Because finalization happens only at protocol closures, the emitted
 segments are IDENTICAL to a batch fit over the concatenated input —
 asserted by tests/test_stateful_streaming.py with drops that split
 mid-run and mid-bin. In-order arrival per conversation is still
 assumed (the reference's contract; late data is served by the
-watermarked tier in streaming/ingest.py::stream_rollup_1m).
+watermarked tier in streaming/ingest.py::stream_rollup_1m). The
+session time zone is pinned to UTC on entry — the state function
+receives naive local-time pandas timestamps, so a non-UTC session
+would shift every bin.
 """
 
 from __future__ import annotations
@@ -145,7 +155,15 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int):
                 tu[closed_upto:].tolist(),
             )
         )
-        state.setTimeoutDuration(flush_after_ms)
+        # event-time flush: fires only when the WATERMARK passes the
+        # open run's tail + allowance, i.e. when no more rows for these
+        # bins can exist — the flush is then final and duplicate-free.
+        # (Spark rejects a timeout at or before the current watermark,
+        # which another conversation's newer data may have advanced.)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(
+            max(int(bins[-1]) + iv + flush_after_ms, wm + 1)
+        )
 
     return fn
 
@@ -161,20 +179,26 @@ def stream_ingest_stateful(
 ):
     """Streaming ingest whose segments span micro-batches: turns group
     by conv_id into `applyInPandasWithState`; the open run rides in
-    state until the gap/salt protocol (or an idle timeout) closes it.
-    Finalized segments append to `{out_root}/segments_stream`."""
+    state until the gap/salt protocol (or the watermark passing the
+    run's tail + flush_after_ms) closes it. Finalized segments append
+    to `{out_root}/segments_stream`."""
+    # the state fn receives naive local-time timestamps: pin UTC so
+    # epoch-millis binning matches the batch path on ANY caller session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_path)
     )
-    turns = stream.select("conv_id", F.col("ts").cast("timestamp").alias("ts"), "tool")
+    turns = stream.select(
+        "conv_id", F.col("ts").cast("timestamp").alias("ts"), "tool"
+    ).withWatermark("ts", f"{max(1, flush_after_ms // 1000)} seconds")
     segs = turns.groupBy("conv_id").applyInPandasWithState(
         _stateful_fit(cfg, flush_after_ms),
         outputStructType=SEGMENT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return (
         segs.writeStream.outputMode("append")

@@ -40,21 +40,32 @@ def test_series_scan_prunes_text_columns(spark, sf_small):
     assert "ts" in scan
 
 
-def test_dim_restrict_is_broadcast(spark, sf_small):
+def test_dim_restrict_is_broadcast(spark, sf_small, tmp_path):
     from modelardb_spark.operators.dimensions import (
         conversation_dimensions,
         dim_restrict,
     )
 
+    # store the segments first so the ONLY possible exchange in the
+    # restricted plan would be a join-induced one
     seg = fit_segments_wide(
         derive_series_wide(transcripts_from_events(spark, sf_small)),
     )
-    dims = conversation_dimensions(seg)
-    plan = _plan(dim_restrict(seg, dims, channel="web"))
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    # the fact side must NOT be exchanged for the join
-    join_part = plan[: plan.index("Broadcast")]
-    assert "Exchange hashpartitioning" not in join_part
+    p = str(tmp_path / "dimseg")
+    seg.write.parquet(p)
+    stored = spark.read.parquet(p)
+    # literal dims frame: the dim side then contributes no exchange of
+    # its own, so ANY hash-partition exchange in the plan would be a
+    # fact-side shuffle — exactly what must not happen
+    convs = [r[0] for r in conversation_dimensions(stored).collect()]
+    dims = spark.createDataFrame(
+        [(c, "web" if i % 2 == 0 else "api") for i, c in enumerate(sorted(convs))],
+        "conv_id string, channel string",
+    )
+    plan = _plan(dim_restrict(stored, dims, channel="web"))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_restrict_pushes_bounds_to_parquet(spark, sf_small, tmp_path):

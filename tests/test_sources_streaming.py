@@ -271,10 +271,11 @@ def test_stream_rollup_watermark_late_data(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {
-        (r["metric"], r["window_ms"]): r["vsum"]
-        for r in spark.read.parquet(f"{out_root}/rollup_1m_stream").collect()
-    }
+    rows = spark.read.parquet(f"{out_root}/rollup_1m_stream").collect()
+    # exactly-once: no (conv, metric, window) key may appear twice
+    keys = [(r["conv_id"], r["metric"], r["window_ms"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    got = {(r["metric"], r["window_ms"]): r["vsum"] for r in rows}
     # all sealed bins present exactly once, late turn merged into bin 1
     assert got[("turn_rate", base + 1 * m)] == 3.0
     for b in [0] + list(range(2, 10)):

@@ -57,6 +57,8 @@ def test_segments_span_micro_batches(spark, tmp_path):
         spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
         max_files_per_trigger=1,
     )
+    # (flush is EVENT-time: the sentinel's open run cannot flush because
+    # the watermark never passes it — no wall-clock race exists)
     # poll for the gap-closed segments (processAllAvailable can block on
     # the timeout-cleanup triggers of an unbounded stateful stream)
     import glob
@@ -83,11 +85,13 @@ def test_segments_span_micro_batches(spark, tmp_path):
 
     got_df = spark.read.parquet(f"{out_root}/segments_stream")
     sentinel_bin = (BASE + 10_000 * MIN) // MIN * MIN
+    got_rows = got_df.collect()
     got = {
         (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"], r["mtid"],
          bytes(r["model"]))
-        for r in got_df.collect()
+        for r in got_rows
     }
+    assert len(got_rows) == len(got)  # exactly-once emission
     # batch reference over the FULL input; the sentinel's own (still
     # open in the stream) segments are excluded from the comparison
     full = _frame(spark, drop1 + drop2)
@@ -102,3 +106,57 @@ def test_segments_span_micro_batches(spark, tmp_path):
     # batch boundary (start before bin 9, end after): prove spanning
     spanning = [s for s in got if s[2] <= 8 * MIN + BASE and s[3] >= 10 * MIN + BASE]
     assert spanning, sorted(s[2:4] for s in got)
+
+
+def test_event_time_timeout_flushes_idle_run(spark, tmp_path):
+    """The watermark passing an idle conversation's tail + allowance
+    must flush its open run via the timeout branch — and only then."""
+    import glob
+    import time as _time
+
+    in_dir = str(tmp_path / "tdrops")
+    os.makedirs(in_dir)
+    # conv 'x': one 5-bin run, never closed by a gap of its own
+    _frame(spark, [("x", b * MIN, None) for b in range(5)]).coalesce(1).write.parquet(
+        f"{in_dir}/d1.parquet"
+    )
+    # conv 'y' far in the future: advances the global watermark past
+    # x's tail + flush allowance
+    _frame(spark, [("y", 5_000 * MIN, None)]).coalesce(1).write.parquet(
+        f"{in_dir}/d2.parquet"
+    )
+
+    out_root = str(tmp_path / "tout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1, flush_after_ms=60_000,
+    )
+    try:
+        deadline = _time.time() + 120
+        found = False
+        while _time.time() < deadline and not found:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            if glob.glob(f"{out_root}/segments_stream/part-*.parquet"):
+                try:
+                    rows = spark.read.parquet(
+                        f"{out_root}/segments_stream"
+                    ).collect()
+                    found = any(r["conv_id"] == "x" for r in rows)
+                except Exception:
+                    pass
+            _time.sleep(2)
+    finally:
+        q.stop()
+    assert found
+    xs = [r for r in rows if r["conv_id"] == "x"]
+    want = {
+        (r["metric"], r["start_ms"], r["end_ms"], bytes(r["model"]))
+        for r in fit_segments(
+            derive_series(_frame(spark, [("x", b * MIN, None) for b in range(5)])),
+            EngineConfig(),
+        ).collect()
+    }
+    assert {(r["metric"], r["start_ms"], r["end_ms"], bytes(r["model"])) for r in xs} == want
+    # y's run is still open (watermark never passed it): not emitted
+    assert all(r["conv_id"] == "x" for r in rows)
