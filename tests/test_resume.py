@@ -148,3 +148,28 @@ def test_ingest_writes_metadata_tables(spark, transcripts, tmp_path):
     assert ts.select("tid").distinct().count() == ts.count()
     mt = {r["mtid"]: r["name"] for r in catalog.read(spark, "model_type").collect()}
     assert mt[1].endswith("uncompressed") and mt[4].endswith("gorilla")
+
+
+def test_grouped_ingest_same_rollups(spark, transcripts, tmp_path):
+    """grouped=True writes GROUP segments: identical rollup tables at
+    bound 0 (the compression trade-off is workload-dependent and
+    measured in tests/test_groupfit.py)."""
+    import glob
+
+    a = str(tmp_path / "flat")
+    b = str(tmp_path / "grp")
+    ingest(spark, transcripts, a, EngineConfig(), snapshot_id="s")
+    ingest(spark, transcripts, b, EngineConfig(), snapshot_id="s", grouped=True)
+    for name in ("rollup_1m", "rollup_1h", "rollup_1d"):
+        assert _table_fingerprint(spark, a, name) == _table_fingerprint(
+            spark, b, name
+        ), name
+
+    # group rows carry the whole conversation's metrics (schema check);
+    # which path stores FEWER bytes is data-dependent — long constant
+    # runs favor per-series PMC, short mixed runs favor group metadata
+    # sharing (the 1.88x win on the events workload is asserted in
+    # tests/test_groupfit.py; the router in groupfit.py is the knob)
+    seg_b = TableCatalog(b).read(spark, "segments")
+    assert "tids" in seg_b.columns and "gaps" in seg_b.columns
+    assert seg_b.where(F.col("group_size") == 2).count() > 0
