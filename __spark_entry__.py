@@ -5,7 +5,8 @@ deterministically from the driver's `events` parquet (conv_id =
 user_id, turn order by (ts, event_id)); the matching `oracle_sql()`
 computes the same result in ANSI SQL on DuckDB. The headline checks are
 the rollup tiers: the Spark side goes through the FULL engine —
-derive series -> fit (PMC/Swing/Gorilla/raw cascade in applyInPandas)
+derive series -> fit (PMC/Swing/Gorilla/raw cascade in sorted
+mapInPandas batches)
 -> segments -> closed-form rollup — while the oracle is a plain SQL
 GROUP BY over the raw points; at error bound 0 the two must be
 identical, which validates the whole compression/reconstruction path.
