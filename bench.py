@@ -152,8 +152,11 @@ def main() -> None:
         all_runs: dict[str, list] = {lo: [], hi: []}
         for _ in range(rounds):
             for cores in (lo, hi):
+                # cores*4 measures best at every level (cores*8 over-
+                # fragments the 4-core fit batches: 404k vs 423k tps;
+                # the 1-core rung is insensitive)
                 env = dict(env_base, SPARK_GRAFT_CPUS=cores,
-                           BENCH_SHUFFLE=str(int(cores) * 8))
+                           BENCH_SHUFFLE=str(int(cores) * 4))
                 cmd = [sys.executable, __file__, "--pipeline-only"]
                 if pin:
                     cmd = ["taskset", "-c", f"0-{int(cores) * 2 - 1}"] + cmd
