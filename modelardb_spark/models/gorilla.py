@@ -20,18 +20,6 @@ import numpy as np
 
 
 
-def _nlz32(x: int) -> int:
-    """Number of leading zeros of a 32-bit value."""
-    return 32 - int(x).bit_length()
-
-
-def _ntz32(x: int) -> int:
-    """Number of trailing zeros of a 32-bit value (32 for 0)."""
-    if x == 0:
-        return 32
-    return (x & -x).bit_length() - 1
-
-
 def gorilla_compress(values: np.ndarray) -> bytes:
     """Compress a float32 array to the gorilla bitstream.
 
@@ -125,11 +113,6 @@ def gorilla_decompress(model: bytes, length: int) -> np.ndarray:
             last ^= value
         out[i] = last
     return out.view(np.float32)
-
-
-def gorilla_size_bytes(values: np.ndarray) -> int:
-    """Size in bytes of the compressed stream (for ratio selection)."""
-    return len(gorilla_compress(values))
 
 
 def gorilla_decompress_matrix(

@@ -54,7 +54,3 @@ def pmc_value(model: bytes) -> float:
     """Decode the constant (float32)."""
     return struct.unpack(">f", model)[0]
 
-
-def pmc_size_bytes() -> float:
-    """Payload size used in the compression-ratio formula."""
-    return 4.0

@@ -63,14 +63,6 @@ def apply_retention(
     return dropped
 
 
-def tier_of_window(window_ms: int) -> str:
-    if window_ms >= DAY_MS:
-        return "rollup_1d"
-    if window_ms >= 3_600_000:
-        return "rollup_1h"
-    return "rollup_1m"
-
-
 def tiered_rollup(
     spark,
     catalog: TableCatalog,
