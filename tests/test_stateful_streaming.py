@@ -160,3 +160,76 @@ def test_event_time_timeout_flushes_idle_run(spark, tmp_path):
     assert {(r["metric"], r["start_ms"], r["end_ms"], bytes(r["model"])) for r in xs} == want
     # y's run is still open (watermark never passed it): not emitted
     assert all(r["conv_id"] == "x" for r in rows)
+
+
+def test_stateful_stream_recovers_after_restart(spark, tmp_path):
+    """The open run survives a query stop/start (state checkpoint):
+    drop 1 is processed, the query dies, a NEW query on the same
+    checkpoint processes drop 2 — the spanning run must still come out
+    exactly as the batch fit."""
+    import glob
+    import time as _time
+
+    in_dir = str(tmp_path / "rdrops")
+    os.makedirs(in_dir)
+    run = [("x", b * MIN, None) for b in range(12)]
+    tail = [("x", (40 + b) * MIN, None) for b in range(3)]
+    sentinel = [("x", 10_000 * MIN, None)]
+    _frame(spark, run[:7]).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+
+    out_root = str(tmp_path / "rout")
+    q1 = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=4,
+    )
+    # let it commit batch 1 (no output yet: the run is open), then die
+    deadline = _time.time() + 60
+    ckpt = f"{out_root}/_stateful_checkpoint"
+    while _time.time() < deadline:
+        if glob.glob(f"{ckpt}/commits/*"):
+            break
+        _time.sleep(1)
+    q1.stop()
+    assert glob.glob(f"{ckpt}/commits/*"), "first batch never committed"
+
+    # second half arrives while the query is DOWN
+    _frame(spark, run[7:] + tail + sentinel).coalesce(1).write.parquet(
+        f"{in_dir}/d2.parquet"
+    )
+    q2 = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=4,
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q2.exception():
+                raise AssertionError(str(q2.exception())[:2000])
+            if glob.glob(f"{out_root}/segments_stream/part-*.parquet"):
+                try:
+                    if spark.read.parquet(
+                        f"{out_root}/segments_stream"
+                    ).count() >= 4:
+                        break
+                except Exception:
+                    pass
+            _time.sleep(2)
+    finally:
+        q2.stop()
+
+    sentinel_bin = (BASE + 10_000 * MIN) // MIN * MIN
+    got = {
+        (r["metric"], r["start_ms"], r["end_ms"], bytes(r["model"]))
+        for r in spark.read.parquet(f"{out_root}/segments_stream").collect()
+    }
+    want = {
+        (r["metric"], r["start_ms"], r["end_ms"], bytes(r["model"]))
+        for r in fit_segments(
+            derive_series(_frame(spark, run + tail + sentinel)), EngineConfig()
+        )
+        .where(F.col("start_ms") < sentinel_bin)
+        .collect()
+    }
+    assert got == want
+    # the 12-bin run spans the restart boundary in one segment set
+    assert any(s[1] == BASE and s[2] == BASE + 11 * MIN for s in got)
