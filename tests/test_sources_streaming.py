@@ -282,3 +282,45 @@ def test_stream_rollup_watermark_late_data(spark, tmp_path):
         assert got[("turn_rate", base + b * m)] == 2.0
     # the stream-head bin (30) is beyond the final watermark: not sealed
     assert ("turn_rate", base + 30 * m) not in got
+
+
+def test_stream_rollup_feeds_batch_cascade(spark, tmp_path):
+    """Sealed streaming 1m rows must be drop-in input for the batch
+    cascade (schema + semantics): cascading them to 1h equals the
+    batch 1h rollup over the same sealed bins."""
+    from datetime import datetime, timezone
+
+    from modelardb_spark.operators.rollup import HOUR_MS, rollup_cascade
+    from modelardb_spark.streaming.ingest import stream_rollup_1m
+
+    base = 1_704_067_200_000
+    m = 60_000
+    rows = [
+        ("c1", i, "user", "t", "click" if b % 2 == 0 else None,
+         datetime.fromtimestamp((base + b * m) / 1000, tz=timezone.utc))
+        for i, b in enumerate(list(range(0, 150)) + [100_000])
+    ]
+    in_dir = str(tmp_path / "cascdrops")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).coalesce(1).write.parquet(f"{in_dir}/d.parquet")
+    out_root = str(tmp_path / "cascout")
+    q = stream_rollup_1m(spark, f"{in_dir}/*.parquet", out_root, EngineConfig())
+    q.awaitTermination(120)
+
+    tier = spark.read.parquet(f"{out_root}/rollup_1m_stream")
+    got = {
+        (r["conv_id"], r["metric"], r["window_ms"]): (r["cnt"], r["vsum"])
+        for r in rollup_cascade(tier, HOUR_MS).collect()
+    }
+    # batch expectation over the SEALED bins (0..149; the far-future
+    # sentinel bin stays open): 60 bins/hour, turn_rate 1 per bin
+    for h in range(2):
+        k = ("c1", "turn_rate", base + h * HOUR_MS)
+        assert got[k] == (60, 60.0), got[k]
+    k = ("c1", "turn_rate", base + 2 * HOUR_MS)
+    assert got[k] == (30, 30.0)
+    k = ("c1", "tool_usage", base)
+    assert got[k] == (60, 30.0)  # every other bin used a tool
