@@ -573,6 +573,10 @@ def fit_segments_adaptive(
         routed = wide_series.join(
             correlated_conversations(wide_series, metrics, threshold), "conv_id"
         )
+    # both branches consume the SAME routed frame: cache it so the
+    # derive + correlation lineage runs once, not once per branch
+    # (MEMORY_AND_DISK, LRU-evictable; bins-sized, ~40B/row)
+    routed = routed.persist()
     g = fit_segments_grouped(
         routed.where(F.col("grouped")).drop("grouped"), cfg, metrics
     )
