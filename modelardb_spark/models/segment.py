@@ -99,6 +99,96 @@ def segment_grid(
     return ts, decode_values(mtid, model, start_ms, end_ms, interval_ms)
 
 
+def segment_agg_batch(
+    mtids: np.ndarray,
+    models: list[bytes],
+    starts: np.ndarray,
+    ends: np.ndarray,
+    sis: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized `segment_agg` over a batch of segment rows: returns
+    (counts, mins, maxs, sums) arrays, bit-identical per row to the
+    scalar path. PMC constants decode as one big-endian frombuffer;
+    Swing (a, b) pairs decode per serialized width (8/12/16 B,
+    swing_model) with the closed-form endpoint min/max and trapezoid
+    sum; the dense rest (Gorilla/raw) is ONE `decode_dense_matrix`
+    lockstep call. This is the Arrow-batch body of the registered
+    COUNT_S..AVG_S SQL aggregates (SparkUDAF.scala:34-184) — no
+    per-segment Python loop."""
+    mtids = np.asarray(mtids, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    sis = np.asarray(sis, dtype=np.int64)
+    counts = (ends - starts) // sis + 1
+    n = mtids.size
+    mins = np.empty(n, dtype=np.float64)
+    maxs = np.empty(n, dtype=np.float64)
+    sums = np.empty(n, dtype=np.float64)
+
+    pmc = np.flatnonzero(mtids == MTID_PMC)
+    if pmc.size:
+        c = np.frombuffer(
+            b"".join(models[i] for i in pmc), dtype=">f4"
+        ).astype(np.float64)
+        mins[pmc] = c
+        maxs[pmc] = c
+        sums[pmc] = c * counts[pmc]
+
+    sw = np.flatnonzero(mtids == MTID_SWING)
+    if sw.size:
+        a = np.empty(sw.size, dtype=np.float64)
+        b = np.empty(sw.size, dtype=np.float64)
+        widths = np.array([len(models[i]) for i in sw], dtype=np.int64)
+        for width, dt in (
+            (8, np.dtype([("a", ">f4"), ("b", ">f4")])),
+            (12, np.dtype([("a", ">f4"), ("b", ">f8")])),
+            (16, np.dtype([("a", ">f8"), ("b", ">f8")])),
+        ):
+            sel = np.flatnonzero(widths == width)
+            if sel.size:
+                rec = np.frombuffer(
+                    b"".join(models[sw[i]] for i in sel), dtype=dt
+                )
+                a[sel] = rec["a"].astype(np.float64)
+                b[sel] = rec["b"].astype(np.float64)
+        first = a * starts[sw] + b
+        last = a * ends[sw] + b
+        f32_first = first.astype(np.float32).astype(np.float64)
+        f32_last = last.astype(np.float32).astype(np.float64)
+        up = a > 0
+        mins[sw] = np.where(up, f32_first, f32_last)
+        maxs[sw] = np.where(up, f32_last, f32_first)
+        sums[sw] = (first + last) / 2.0 * counts[sw]
+
+    dense = np.flatnonzero(np.isin(mtids, (MTID_GORILLA, MTID_RAW)))
+    if dense.size:
+        lens = counts[dense]
+        mat = decode_dense_matrix(
+            mtids[dense], [models[i] for i in dense], lens
+        )
+        valid = np.arange(mat.shape[1])[None, :] < lens[:, None]
+        mins[dense] = np.where(valid, mat, np.float32(np.inf)).min(axis=1)
+        maxs[dense] = np.where(valid, mat, np.float32(-np.inf)).max(axis=1)
+        # mask the padding (lockstep Gorilla rows carry garbage past
+        # lengths[i]); pairwise blocking may differ from the scalar
+        # path by <1 ulp — the SQL surface rounds at 6
+        sums[dense] = (
+            np.where(valid, mat, np.float32(0)).astype(np.float64).sum(axis=1)
+        )
+
+    known = (
+        (mtids == MTID_PMC)
+        | (mtids == MTID_SWING)
+        | (mtids == MTID_GORILLA)
+        | (mtids == MTID_RAW)
+    )
+    if not known.all():
+        raise ValueError(
+            f"unknown mtid(s) {sorted(set(mtids[~known].tolist()))}"
+        )
+    return counts, mins, maxs, sums
+
+
 def segment_agg(
     mtid: int, model: bytes, start_ms: int, end_ms: int, interval_ms: int
 ) -> tuple[int, float, float, float]:

@@ -448,77 +448,147 @@ def ivf_topk(
     )
 
 
-def lsh_topk(emb: DataFrame, k: int = 5, bits: int = 8, seed: int = 42) -> DataFrame:
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+    max_task_rows: int = 32768,
+    enforce_cap: bool = False,
+) -> DataFrame:
     """Approximate top-k: exact ranking *within* each LSH bucket (each
     vector lives in exactly one bucket, so bucket-local rank == final
     rank).
 
-    In-bucket scoring is a NumPy/BLAS block matmul per bucket group
-    (applyInPandas keyed on the bucket) — O(|bucket|^2) FLOPs but only
-    O(|bucket| x k) rows ever leave the task, versus the all-pairs
-    self-join + per-pair SQL folds this replaces (which shuffled
-    O(sum |bucket|^2) rows). Query rows are processed in fixed-size
-    blocks so a hot bucket is bounded in memory by
-    O(block x |bucket|) floats."""
+    Scale shape — no task ever materializes an unbounded bucket: a
+    bucket of size B is cut into ``P = ceil(B / max_task_rows)``
+    hash-slices, and the in-bucket all-pairs compare runs as a grid of
+    ``(query_slice, neighbor_slice)`` tasks, each holding at most ~two
+    slices (O(max_task_rows x dim) floats). Every slice emits its LOCAL
+    top-k per query (the same round-6 cosine + neighbor-id tie rule),
+    and a final window merge picks the global top-k — exact, because
+    the global top-k is a subset of the union of per-slice top-ks. For
+    buckets that fit (P == 1) each row appears exactly once, so the
+    small-data plan degenerates to one task per bucket as before.
+    Shuffle volume is O(n x P) replicated inputs + O(n x k x P)
+    partials — bounded by the cap, never by the hottest bucket.
+
+    ``enforce_cap`` raises inside the task if a group ever exceeds the
+    statistical bound on the hash split (tests use it to prove the cap
+    holds on a planted oversized bucket); production leaves it off
+    because the hash split is only probabilistically even."""
+    from pyspark.sql import Window
     from pyspark.sql.types import (
         DoubleType,
-        IntegerType,
         LongType,
         StructField,
         StructType,
     )
 
-    out_schema = StructType(
+    local_schema = StructType(
         [
             StructField("query_id", LongType(), False),
             StructField("neighbor_id", LongType(), False),
-            StructField("rank", IntegerType(), False),
             StructField("cosine", DoubleType(), False),
         ]
     )
     block_rows = 4096
+    cap = max_task_rows
 
     def score(pdf):
         import pandas as pd
 
-        nid = pdf["vec_id"].to_numpy().astype(np.int64)
-        m = np.array(list(pdf["embedding"]), dtype=np.float64)
-        norms = np.sqrt((m * m).sum(axis=1))
-        kk = min(k, nid.size - 1)
-        if kk <= 0:
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-            ).astype(
-                {"query_id": np.int64, "neighbor_id": np.int64,
-                 "rank": np.int32, "cosine": np.float64}
+        if enforce_cap and len(pdf) > 4 * cap + 64:
+            raise ValueError(
+                f"lsh_topk task got {len(pdf)} rows > cap bound {4 * cap + 64}"
             )
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"query_id": np.int64, "neighbor_id": np.int64, "cosine": np.float64}
+        )
+        q_rows = pdf[pdf["is_q"]]
+        n_rows = pdf[pdf["is_n"]]
+        if q_rows.empty or n_rows.empty:
+            return empty
+        qid = q_rows["vec_id"].to_numpy().astype(np.int64)
+        nid = n_rows["vec_id"].to_numpy().astype(np.int64)
+        m_n = np.array(list(n_rows["embedding"]), dtype=np.float64)
+        n_norm = np.sqrt((m_n * m_n).sum(axis=1))
+        m_q = np.array(list(q_rows["embedding"]), dtype=np.float64)
+        q_norm = np.sqrt((m_q * m_q).sum(axis=1))
+        kk = min(k, nid.size)
         outs = []
-        for lo in range(0, nid.size, block_rows):
-            hi = min(lo + block_rows, nid.size)
-            sims = (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms)
-            sims[np.equal.outer(nid[lo:hi], nid)] = -np.inf  # exclude self
+        for lo in range(0, qid.size, block_rows):
+            hi = min(lo + block_rows, qid.size)
+            sims = (m_q[lo:hi] @ m_n.T) / np.outer(q_norm[lo:hi], n_norm)
+            sims[np.equal.outer(qid[lo:hi], nid)] = -np.inf  # exclude self
             sims = np.round(sims, 6)
             order = np.lexsort(
                 (nid[None, :].repeat(hi - lo, 0), -sims), axis=1
             )[:, :kk]
+            rows_c = np.take_along_axis(sims, order, axis=1).ravel()
+            keep = rows_c > -np.inf
             outs.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.repeat(nid[lo:hi], kk),
-                        "neighbor_id": nid[order].ravel(),
-                        "rank": np.tile(
-                            np.arange(1, kk + 1, dtype=np.int32), hi - lo
-                        ),
-                        "cosine": np.take_along_axis(sims, order, axis=1).ravel(),
+                        "query_id": np.repeat(qid[lo:hi], kk)[keep],
+                        "neighbor_id": nid[order].ravel()[keep],
+                        "cosine": rows_c[keep],
                     }
                 )
             )
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     buckets = lsh_buckets(emb, bits, seed)
     base = emb.select("vec_id", "embedding").join(buckets, "vec_id")
+    # per-bucket slice count from the (<= 2^bits rows) size table
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("bsize"))
+    sliced = (
+        base.join(F.broadcast(sizes), "bucket")
+        .withColumn(
+            "n_slices",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("bsize") / F.lit(cap))
+            ).cast("int"),
+        )
+        .withColumn(
+            "slc", F.pmod(F.xxhash64("vec_id"), F.col("n_slices")).cast("int")
+        )
+    )
+    # a row serves as QUERY in (qs=slc, ns=*) and as NEIGHBOR in
+    # (qs=*, ns=slc); the diagonal combo carries both roles so a
+    # P == 1 bucket keeps exactly one copy per row
+    combos = F.expr(
+        """
+        flatten(array(
+          transform(sequence(0, n_slices - 1),
+                    j -> struct(slc AS qs, j AS ns,
+                                true AS is_q, j = slc AS is_n)),
+          filter(transform(sequence(0, n_slices - 1),
+                           j -> struct(j AS qs, slc AS ns,
+                                       false AS is_q, true AS is_n)),
+                 x -> x.qs != slc)
+        ))
+        """
+    )
+    fanned = sliced.withColumn("c", F.explode(combos)).select(
+        "bucket",
+        "vec_id",
+        "embedding",
+        F.col("c.qs").alias("qs"),
+        F.col("c.ns").alias("ns"),
+        F.col("c.is_q").alias("is_q"),
+        F.col("c.is_n").alias("is_n"),
+    )
+    local = fanned.groupBy("bucket", "qs", "ns").applyInPandas(
+        lambda key, pdf: score(pdf), local_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
     return (
-        base.groupBy("bucket")
-        .applyInPandas(lambda key, pdf: score(pdf), out_schema)
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

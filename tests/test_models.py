@@ -255,6 +255,41 @@ def test_segment_agg_matches_grid():
         assert total == pytest.approx(float(grid_v.sum(dtype=np.float64)), rel=1e-9)
 
 
+def test_segment_agg_batch_matches_scalar():
+    """The vectorized batch aggregate (one frombuffer per model family
+    + one lockstep dense decode) must agree with the scalar
+    `segment_agg` per row across every mtid and Swing width."""
+    from modelardb_spark.models.segment import segment_agg_batch
+
+    rng = np.random.default_rng(33)
+    v = np.concatenate(
+        [
+            np.full(25, 4.0, dtype=np.float32),
+            (np.arange(30) * 2.0 + 1).astype(np.float32),
+            rng.normal(0, 100, size=60).astype(np.float32),
+            np.array([7.25], dtype=np.float32),
+        ]
+    )
+    t = ts_of(v.size)
+    segs = fit_run(t, v)
+    assert len({s.mtid for s in segs}) >= 3  # PMC, Swing, dense
+    counts, mins, maxs, sums = segment_agg_batch(
+        np.array([s.mtid for s in segs]),
+        [s.model for s in segs],
+        np.array([s.start_ms for s in segs]),
+        np.array([s.end_ms for s in segs]),
+        np.array([INTERVAL] * len(segs)),
+    )
+    for i, s in enumerate(segs):
+        cnt, lo, hi, total = segment_agg(
+            s.mtid, s.model, s.start_ms, s.end_ms, INTERVAL
+        )
+        assert counts[i] == cnt
+        assert mins[i] == lo
+        assert maxs[i] == hi
+        assert sums[i] == pytest.approx(total, rel=1e-12)
+
+
 def test_raw_fallback_for_single_point_flush():
     # single point: PMC has ratio, Swing NaN, Gorilla has ratio ->
     # reference fold picks Gorilla (NaN shadows PMC, then Gorilla wins)

@@ -114,6 +114,32 @@ def test_lsh_topk_approximates_brute_force(spark, sf_small):
     assert overlap > 0.15
 
 
+def test_lsh_topk_bounded_hot_bucket(spark):
+    """Plant ONE oversized bucket (collinear positive scalings share
+    every projection sign, hence the signature) and run with a tiny
+    per-task cap: `enforce_cap=True` raises inside any task whose group
+    exceeds the sliced bound, so a green run proves no task ever
+    materialized the whole bucket — and the sliced plan's output must
+    equal the single-task plan's output exactly (same round-6 cosine,
+    same neighbor-id tie rule)."""
+    base = np.linspace(0.1, 1.0, 64)
+    rows = [
+        (i, ((1.0 + 0.001 * i) * base).astype(np.float32).tolist())
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    bounded = lsh_topk(
+        emb, k=3, bits=4, max_task_rows=64, enforce_cap=True
+    ).collect()
+    assert len(bounded) == 600 * 3
+    unbounded = lsh_topk(emb, k=3, bits=4, max_task_rows=1 << 20).collect()
+    as_set = lambda rs: {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"]) for r in rs
+    }
+    assert as_set(bounded) == as_set(unbounded)
+    emb.unpersist()
+
+
 def test_lsh_near_dup_recall(spark, sf_small):
     """Plant true near-duplicates (copies with the sign of one
     component flipped -> cosine ~0.97) and require the LSH path to (a)
