@@ -86,6 +86,31 @@ series AS (
 )
 
 
+def _sql_tier_select(window_ms: int, tier: str, cutoff_day: int | None) -> str:
+    """One retention tier of the tiered_rollup oracle: the raw-points
+    rollup at `window_ms`, labeled, keeping only windows whose day is
+    >= the policy cutoff (None = keep all)."""
+    pred = (
+        f"WHERE (window_ms // 86400000) >= {cutoff_day}"
+        if cutoff_day is not None
+        else ""
+    )
+    return f"""
+SELECT '{tier}' AS tier, conv_id, metric, window_ms, cnt, vmin, vmax, vsum, mean
+FROM (
+  SELECT conv_id, metric,
+         (bin_ms // {window_ms}) * {window_ms} AS window_ms,
+         COUNT(*) AS cnt,
+         CAST(MIN(value) AS DOUBLE) AS vmin,
+         CAST(MAX(value) AS DOUBLE) AS vmax,
+         SUM(CAST(value AS DOUBLE)) AS vsum,
+         SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
+  FROM series
+  GROUP BY 1, 2, 3
+) {pred}
+"""
+
+
 def _sql_raw_rollup(window_ms: int) -> str:
     return (
         "WITH "
@@ -593,6 +618,28 @@ def _q_dynamic_group_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _std_rollup(rollup_adaptive(g, p, HOUR_MS))
 
 
+def _q_ratio_routed_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-FEEDBACK dynamic split/join (SegmentGenerator.java:296-351,
+    :403-455): the group fit tracks its running compression-ratio
+    average, splits into subsets mutually within 2x the bound when a
+    segment compresses below dynamic_split_fraction x that average, and
+    rejoins with exponential back-off. At bound 0 the 1h tier must
+    still equal the raw rollup exactly — the trigger only moves stored
+    bytes (asserted in tests/test_groupfit.py), never correctness."""
+    from modelardb_spark.operators.groupfit import (
+        DYNAMIC_SPLIT_FRACTION,
+        fit_segments_grouped,
+        rollup_from_group_segments,
+    )
+    from modelardb_spark.operators.series import derive_series_wide
+
+    wide = derive_series_wide(transcripts_from_events(spark, sf_dir), CFG)
+    g = fit_segments_grouped(
+        wide, CFG, dynamic_split_fraction=DYNAMIC_SPLIT_FRACTION
+    )
+    return _std_rollup(rollup_from_group_segments(g, HOUR_MS))
+
+
 def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression accounting for the group path (rows-only check; the
     group-vs-per-series win is asserted in
@@ -600,6 +647,48 @@ def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.groupfit import group_compression_stats
 
     return group_compression_stats(_gsegments(spark, sf_dir))
+
+
+#: fixed "now" for the retention-tier query: 2024-02-01T00:00Z, just
+#: after the test data's Jan-2024 range so every cutoff is deterministic
+_RET_NOW_MS = 1_706_745_600_000
+_RET_HOT_DAYS, _RET_WARM_DAYS = 7, 14
+
+
+def _q_tiered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-tier union view (the north rule's downsample-cold-tiers
+    capability): each tier keeps only the windows the policy retains at
+    the fixed `now` — 1m and 1h keep the warm 14 days, 1d keeps all —
+    so any window is answerable from the finest tier still retained at
+    its age. At bound 0 every tier must equal its raw-points rollup
+    exactly, which the 3-tier union oracle checks per tier."""
+    from modelardb_spark.operators.retention import (
+        RetentionPolicy,
+        tiered_rollup_view,
+    )
+
+    seg = _segments(spark, sf_dir).persist()
+    r1m = rollup_from_segments(seg, MINUTE_MS)
+    r1h = rollup_from_segments(seg, HOUR_MS)
+    r1d = rollup_cascade(r1h, DAY_MS)
+    out = tiered_rollup_view(
+        r1m,
+        r1h,
+        r1d,
+        RetentionPolicy(hot_days=_RET_HOT_DAYS, warm_days=_RET_WARM_DAYS),
+        _RET_NOW_MS,
+    )
+    return out.select(
+        "tier",
+        "conv_id",
+        "metric",
+        F.col("window_ms").cast("long").alias("window_ms"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        F.col("vsum").cast("double").alias("vsum"),
+        F.col("mean").cast("double").alias("mean"),
+    )
 
 
 #: minute-aligned restriction window for the SQL-surface queries
@@ -983,6 +1072,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hour_12_cube": _q_hour_12_cube,
         "lossy_bound_violations": _q_lossy_bound_violations,
         "windowed_rollup": _q_windowed_rollup,
+        "tiered_rollup": _q_tiered_rollup,
         "derived_series": _q_derived_series,
         "derived_rollup_1h": _q_derived_rollup_1h,
         "scaled_series": _q_scaled_series,
@@ -996,6 +1086,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "group_data_points": _q_group_data_points,
         "adaptive_rollup_1h": _q_adaptive_rollup_1h,
         "dynamic_group_rollup_1h": _q_dynamic_group_rollup_1h,
+        "ratio_routed_rollup_1h": _q_ratio_routed_rollup_1h,
         "group_compression_stats": _q_group_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
@@ -1051,6 +1142,7 @@ WHERE n.next_ms IS NOT NULL
         "group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "adaptive_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "dynamic_group_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "ratio_routed_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "sql_surface_agg": (
             "WITH "
             + _SQL_SERIES
@@ -1164,6 +1256,19 @@ SELECT conv_id, metric,
 FROM series
 GROUP BY 1, 2, 3
 """
+        ),
+        "tiered_rollup": (
+            "WITH "
+            + _SQL_SERIES
+            + _sql_tier_select(
+                MINUTE_MS, "rollup_1m", _RET_NOW_MS // DAY_MS - _RET_WARM_DAYS
+            )
+            + "UNION ALL"
+            + _sql_tier_select(
+                HOUR_MS, "rollup_1h", _RET_NOW_MS // DAY_MS - _RET_WARM_DAYS
+            )
+            + "UNION ALL"
+            + _sql_tier_select(DAY_MS, "rollup_1d", None)
         ),
         "lossy_bound_violations": """
 SELECT CAST(NULL AS VARCHAR) AS conv_id,

@@ -26,16 +26,21 @@ Reference semantics re-expressed Spark-first:
   payload. Implemented as a JVM-side posexplode — no Python until the
   dense decode itself.
 
-Model cascade for groups: PMC-Mean (the shared constant must satisfy
-the bound for every member's value at every timestamp — exactly the
-reference group-PMC behavior) -> Gorilla on the interleaved stream
-(GorillaModelType appends all N values per timestamp into one XOR
-stream) -> raw fallback. Swing is per-series-only in this engine: a
-shared line across members with structurally different levels
-essentially never verifies, so the candidate would only burn fit time
-(the reference does offer group Swing; documented trade-off).
-Selection uses the reference fold and ratio formula INCLUDING the
-4-bytes-per-gap-entry term (ModelType.java:49-54).
+Model cascade for groups — the reference's any-model-on-group-stream
+contract (core/SegmentGenerator.java:154-167 iterates every configured
+model type over the interleaved DataPoint stream): PMC-Mean (the
+shared constant must satisfy the bound for every member's value at
+every timestamp) -> Swing (one shared line: the N same-timestamp
+appends the reference feeds SwingFilterModelType.java:36-103
+constrain the line to the interval [max_i(v_i - dev_i),
+min_i(v_i + dev_i)] at each timestamp, which is exactly how
+`_group_swing_fit` runs the filter — sequential-append parity at the
+float level is guaranteed the same way as per-series Swing, by the
+float32 re-verification pass, reference :144-174) -> Gorilla on the
+interleaved stream (GorillaModelType appends all N values per
+timestamp into one XOR stream) -> raw fallback. Selection uses the
+reference fold and ratio formula INCLUDING the 4-bytes-per-gap-entry
+term (ModelType.java:49-54).
 """
 
 from __future__ import annotations
@@ -59,10 +64,12 @@ from pyspark.sql.types import (
 )
 
 from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
-from modelardb_spark.models import MTID_PMC, MTID_RAW
+from modelardb_spark.models import MTID_PMC, MTID_RAW, MTID_SWING
 from modelardb_spark.models.cascade import MTID_GORILLA, _ratio
+from modelardb_spark.models.errors import outside_bound_vec
 from modelardb_spark.models.gorilla import gorilla_compress, gorilla_decompress
 from modelardb_spark.models.pmc_mean import pmc_model, pmc_prefix, pmc_value
+from modelardb_spark.models.swing import swing_minmax, swing_model, swing_sum
 from modelardb_spark.models.uncompressed import raw_decode, raw_model
 from modelardb_spark.operators.rollup import ROLLUP_SCHEMA, _analytic_partials
 
@@ -94,6 +101,202 @@ GROUP_SEGMENT_SCHEMA = StructType(
 _GCOLS = [f.name for f in GROUP_SEGMENT_SCHEMA.fields]
 
 
+def _group_swing_fit(
+    ts: np.ndarray, vals2d: np.ndarray, error_bound: float
+) -> tuple[int, float, float]:
+    """Swing filter over a group run: fit ONE line within the bound of
+    EVERY member at every timestamp; returns (prefix_timestamps, a, b).
+
+    Equivalent to the reference's sequential same-timestamp appends
+    (SwingFilterModelType.java:36-103 fed the interleaved group stream
+    by SegmentGenerator.java:154-167): the N points at timestamp t_k
+    jointly require line(t_k) in [max_i(v_i - dev_i),
+    min_i(v_i + dev_i)], so the filter runs on that interval sequence
+    with the usual pivot through the first member's first value. Like
+    per-series `swing_fit` this is a vectorized reformulation whose
+    float-level divergences are caught by the caller's float32
+    re-verification."""
+    n_ts, n_mem = vals2d.shape
+    if n_ts < 2:
+        return n_ts, 0.0, 0.0
+    t = ts.astype(np.float64)
+    v = vals2d.astype(np.float64)
+    dev = np.abs(v * (error_bound / 100.1))
+    lo_k = (v - dev).max(axis=1)
+    hi_k = (v + dev).min(axis=1)
+    feasible = lo_k <= hi_k
+    t0 = t[0]
+    v0 = float(vals2d[0, 0])
+    # the pivot (t0, first member's value) must satisfy every member's
+    # band at t0, and timestamp 1 must be feasible for the line to
+    # cover two whole timestamps
+    if not (feasible[0] and lo_k[0] <= v0 <= hi_k[0] and feasible[1]):
+        return 1, 0.0, 0.0
+    dt = t[1:] - t0
+    slope_up = (hi_k[1:] - v0) / dt
+    slope_lo = (lo_k[1:] - v0) / dt
+    hi = np.minimum.accumulate(slope_up)
+    lo = np.maximum.accumulate(slope_lo)
+    if n_ts > 2:
+        hi_prev, lo_prev = hi[:-1], lo[:-1]
+        tk = t[2:]
+        uba = hi_prev * tk + (v0 - hi_prev * t0)
+        lba = lo_prev * tk + (v0 - lo_prev * t0)
+        fail = (uba < lo_k[2:]) | (lba > hi_k[2:]) | ~feasible[2:]
+        if fail.any():
+            k = int(np.argmax(fail))
+            prefix = k + 2
+            hi_a, lo_a = hi[k], lo[k]
+        else:
+            prefix = n_ts
+            hi_a, lo_a = hi[-1], lo[-1]
+    else:
+        prefix = 2
+        hi_a, lo_a = hi[0], lo[0]
+    a = (lo_a + hi_a) / 2.0
+    b = ((v0 - lo_a * t0) + (v0 - hi_a * t0)) / 2.0
+    return prefix, a, b
+
+
+def _group_swing_candidate(
+    ts: np.ndarray,
+    vals2d: np.ndarray,
+    error_bound: float,
+    gap_bytes: float,
+) -> tuple[int, float, bytes | None, float, float]:
+    """(prefix_ts, ratio, model, a, b) for the group Swing candidate:
+    doubling-window prefix search + float32 re-verification over EVERY
+    member value of the covered prefix (reference :144-174); an
+    unverifiable line is invalid (ratio NaN), exactly like per-series
+    `_swing_candidate`."""
+    limit = 128
+    n_ts = vals2d.shape[0]
+    while True:
+        m = min(limit, n_ts)
+        prefix, a, b = _group_swing_fit(ts[:m], vals2d[:m], error_bound)
+        if prefix < m or m == n_ts:
+            break
+        limit *= 2
+    if prefix < 2:
+        return prefix, float("nan"), None, 0.0, 0.0
+    approx = (a * ts[:prefix].astype(np.float64) + b).astype(np.float32)
+    rep = np.repeat(approx, vals2d.shape[1])
+    flat = np.ascontiguousarray(vals2d[:prefix]).reshape(-1)
+    if outside_bound_vec(error_bound, rep, flat).any():
+        return prefix, float("nan"), None, a, b
+    model = swing_model(a, b)
+    n_vals = prefix * vals2d.shape[1]
+    return prefix, _ratio(n_vals, float(len(model)) + gap_bytes), model, a, b
+
+
+def _fit_one_group_segment(
+    conv: str,
+    ts: np.ndarray,
+    vals2d: np.ndarray,
+    inter: np.ndarray,
+    pos: int,
+    tids: list[int],
+    gaps: list[int],
+    error_bound: float,
+    max_vals: int,
+    interval_ms: int,
+    out: dict[str, list],
+) -> tuple[int, float]:
+    """Fit and emit EXACTLY ONE group segment at timestamp index `pos`
+    of the run; returns (covered_timestamps, stored_compression_ratio).
+    The ratio (16 x values / (24 + payload + 4 x gap entries),
+    ModelType.java:49-54) feeds the dynamic split trigger."""
+    n_mem = vals2d.shape[1]
+    gap_bytes = 4.0 * len(gaps)
+    rest = inter[pos * n_mem :]
+    # PMC: shared constant within bound of every member value.
+    # Doubling-window prefix search (cascade._pmc_candidate
+    # pattern): a short segment scans one small window instead of
+    # the whole remaining run every iteration (O(run) total, not
+    # O(run^2)).
+    limit = 128
+    while True:
+        window = rest[: min(limit, rest.size)]
+        p = pmc_prefix(window, error_bound)
+        if p < window.size or window.size == rest.size:
+            break
+        limit *= 2
+    p_n = (p // n_mem) * n_mem
+    pmc_ratio = (
+        _ratio(p_n, 4.0 + gap_bytes) if p_n >= n_mem else float("nan")
+    )
+    # Swing: one shared line over all members' same-timestamp bands
+    sw_ts, sw_ratio, sw_model, sw_a, sw_b = _group_swing_candidate(
+        ts[pos:], vals2d[pos:], error_bound, gap_bytes
+    )
+    # Gorilla over the interleaved stream
+    g_n = min(rest.size, max_vals)
+    g_bytes = gorilla_compress(rest[:g_n])
+    gor_ratio = _ratio(g_n, float(len(g_bytes)) + gap_bytes)
+
+    # reference fold (SegmentGenerator.java:230-233): NaN < x false
+    candidates = [
+        (MTID_PMC, p_n, pmc_ratio),
+        (MTID_SWING, sw_ts * n_mem, sw_ratio),
+        (MTID_GORILLA, g_n, gor_ratio),
+    ]
+    best = candidates[0]
+    for cand in candidates:
+        if not (cand[2] < best[2]):
+            best = cand
+    mtid, length, ratio = best
+    if not (ratio == ratio) or length == 0:
+        length = min(rest.size, max_vals)
+        mtid = MTID_RAW
+
+    seg_ts = length // n_mem
+    block = rest[:length].reshape(seg_ts, n_mem)
+    p1 = float("nan")
+    if mtid == MTID_PMC:
+        model = pmc_model(rest, length)
+        const = np.float32(pmc_value(model))
+        p0 = float(const)
+        # aggregates describe the RECONSTRUCTION (constant)
+        mins = np.full(n_mem, const, dtype=np.float32)
+        maxs = mins
+        sums = np.full(n_mem, float(const) * seg_ts, dtype=np.float64)
+    elif mtid == MTID_SWING:
+        model = sw_model
+        p0, p1 = sw_a, sw_b
+        s_ms, e_ms = int(ts[pos]), int(ts[pos + seg_ts - 1])
+        lo_v, hi_v = swing_minmax(sw_a, sw_b, s_ms, e_ms)
+        mins = np.full(n_mem, lo_v, dtype=np.float32)
+        maxs = np.full(n_mem, hi_v, dtype=np.float32)
+        sums = np.full(
+            n_mem, swing_sum(sw_a, sw_b, s_ms, e_ms, seg_ts), dtype=np.float64
+        )
+    else:
+        model = g_bytes if mtid == MTID_GORILLA else raw_model(rest, length)
+        p0 = float("nan")
+        mins = block.min(axis=0)
+        maxs = block.max(axis=0)
+        sums = block.sum(axis=0, dtype=np.float64)
+
+    out["conv_id"].append(conv)
+    out["start_ms"].append(int(ts[pos]))
+    out["end_ms"].append(int(ts[pos + seg_ts - 1]))
+    out["interval_ms"].append(interval_ms)
+    out["mtid"].append(mtid)
+    out["model"].append(model)
+    out["n"].append(length)
+    out["group_size"].append(n_mem)
+    out["tids"].append(list(tids))
+    out["gaps"].append(gaps)
+    out["seg_cnt"].append([seg_ts] * n_mem)
+    out["seg_min"].append([float(x) for x in mins])
+    out["seg_max"].append([float(x) for x in maxs])
+    out["seg_sum"].append([float(x) for x in sums])
+    out["p0"].append(p0)
+    out["p1"].append(p1)
+    stored_ratio = (16.0 * length) / (24.0 + len(model) + 4.0 * len(gaps))
+    return seg_ts, stored_ratio
+
+
 def _fit_group_run(
     conv: str,
     ts: np.ndarray,
@@ -112,85 +315,134 @@ def _fit_group_run(
     n_ts, n_mem = vals2d.shape
     inter = np.ascontiguousarray(vals2d).reshape(-1)  # row-major interleave
     gaps = [t for t in all_tids if t not in tids]
-    gap_bytes = 4.0 * len(gaps)
     # length_bound counts stored VALUES (data points incl. every member,
     # like the reference's per-DataPoint accounting), floored to whole
     # timestamps so a segment always covers full grid rows
     max_vals = max(n_mem, (length_bound // n_mem) * n_mem)
-
     pos = 0  # timestamp index
     while pos < n_ts:
-        rest = inter[pos * n_mem :]
-        # PMC: shared constant within bound of every member value.
-        # Doubling-window prefix search (cascade._pmc_candidate
-        # pattern): a short segment scans one small window instead of
-        # the whole remaining run every iteration (O(run) total, not
-        # O(run^2)).
-        limit = 128
-        while True:
-            window = rest[: min(limit, rest.size)]
-            p = pmc_prefix(window, error_bound)
-            if p < window.size or window.size == rest.size:
-                break
-            limit *= 2
-        p_n = (p // n_mem) * n_mem
-        pmc_ratio = (
-            _ratio(p_n, 4.0 + gap_bytes) if p_n >= n_mem else float("nan")
+        seg_ts, _ = _fit_one_group_segment(
+            conv, ts, vals2d, inter, pos, tids, gaps,
+            error_bound, max_vals, interval_ms, out,
         )
-        # Gorilla over the interleaved stream
-        g_n = min(rest.size, max_vals)
-        g_bytes = gorilla_compress(rest[:g_n])
-        gor_ratio = _ratio(g_n, float(len(g_bytes)) + gap_bytes)
-
-        # reference fold (SegmentGenerator.java:230-233): NaN < x false
-        candidates = [(MTID_PMC, p_n, pmc_ratio), (MTID_GORILLA, g_n, gor_ratio)]
-        best = candidates[0]
-        for cand in candidates:
-            if not (cand[2] < best[2]):
-                best = cand
-        mtid, length, ratio = best
-        if not (ratio == ratio) or length == 0:
-            length = min(rest.size, max_vals)
-            mtid = MTID_RAW
-
-        seg_ts = length // n_mem
-        block = rest[:length].reshape(seg_ts, n_mem)
-        if mtid == MTID_PMC:
-            model = pmc_model(rest, length)
-            const = np.float32(pmc_value(model))
-            p0 = float(const)
-            # aggregates describe the RECONSTRUCTION (constant)
-            mins = np.full(n_mem, const, dtype=np.float32)
-            maxs = mins
-            sums = np.full(n_mem, float(const) * seg_ts, dtype=np.float64)
-        else:
-            model = g_bytes if mtid == MTID_GORILLA else raw_model(rest, length)
-            p0 = float("nan")
-            mins = block.min(axis=0)
-            maxs = block.max(axis=0)
-            sums = block.sum(axis=0, dtype=np.float64)
-
-        out["conv_id"].append(conv)
-        out["start_ms"].append(int(ts[pos]))
-        out["end_ms"].append(int(ts[pos + seg_ts - 1]))
-        out["interval_ms"].append(interval_ms)
-        out["mtid"].append(mtid)
-        out["model"].append(model)
-        out["n"].append(length)
-        out["group_size"].append(n_mem)
-        out["tids"].append(list(tids))
-        out["gaps"].append(gaps)
-        out["seg_cnt"].append([seg_ts] * n_mem)
-        out["seg_min"].append([float(x) for x in mins])
-        out["seg_max"].append([float(x) for x in maxs])
-        out["seg_sum"].append([float(x) for x in sums])
-        out["p0"].append(p0)
-        out["p1"].append(float("nan"))
         pos += seg_ts
 
 
+def _split_subsets(
+    row: np.ndarray, idx: list[int], error_bound: float
+) -> list[list[int]]:
+    """Partition present-member COLUMN indexes into subsets mutually
+    within DOUBLE the error bound of each other at the decision
+    timestamp — the reference's split rule (SegmentGenerator.java:
+    296-351 splits into generators whose series pairwise satisfy the
+    doubled bound; greedy leader grouping like its sequential scan)."""
+    remaining = list(idx)
+    subsets: list[list[int]] = []
+    while remaining:
+        lead = remaining[0]
+        sub = [
+            j
+            for j in remaining
+            if not outside_bound_vec(
+                2.0 * error_bound,
+                np.asarray([row[j]], dtype=np.float32),
+                np.asarray([row[lead]], dtype=np.float32),
+            ).any()
+        ]
+        subsets.append(sub)
+        remaining = [j for j in remaining if j not in sub]
+    return subsets
+
+
+#: reference default for modelardb.dynamic_split_fraction
+#: (SegmentGenerator.java:296-351 trigger threshold)
+DYNAMIC_SPLIT_FRACTION = 10.0
+
+#: initial rejoin back-off in timestamps; doubles per failed attempt
+#: (SegmentGenerator.java:403-455 exponential back-off)
+_REJOIN_BACKOFF_TS = 4
+
+
+def _fit_group_run_dynamic(
+    conv: str,
+    ts: np.ndarray,
+    vals2d: np.ndarray,
+    tids: list[int],
+    all_tids: list[int],
+    error_bound: float,
+    length_bound: int,
+    interval_ms: int,
+    out: dict[str, list],
+    split_fraction: float,
+) -> None:
+    """Ratio-FEEDBACK dynamic split/join over one run — the reference's
+    actual mechanism (SegmentGenerator.java:296-351, :403-455): keep a
+    running average of the group's finalized-segment compression
+    ratios; when a segment's ratio falls below `split_fraction x` that
+    average, split the group into subsets mutually within 2x the error
+    bound and fit them separately; attempt a rejoin after an
+    exponentially backed-off number of timestamps, rejoining when the
+    members' values are again mutually within the doubled bound.
+    Unlike the correlation router (input-driven), this adapts to what
+    actually compressed badly. At bound 0 both paths reconstruct
+    exactly, so the trigger only moves stored bytes."""
+    n_ts, n_mem = vals2d.shape
+    inter = np.ascontiguousarray(vals2d).reshape(-1)
+    gaps = [t for t in all_tids if t not in tids]
+    max_vals = max(n_mem, (length_bound // n_mem) * n_mem)
+    all_idx = list(range(n_mem))
+
+    ratios: list[float] = []
+    backoff = _REJOIN_BACKOFF_TS
+    pos = 0
+    while pos < n_ts:
+        seg_ts, ratio = _fit_one_group_segment(
+            conv, ts, vals2d, inter, pos, tids, gaps,
+            error_bound, max_vals, interval_ms, out,
+        )
+        pos += seg_ts
+        trigger = (
+            n_mem > 1
+            and pos < n_ts
+            and len(ratios) > 0
+            and ratio < split_fraction * (sum(ratios) / len(ratios))
+        )
+        ratios.append(ratio)
+        if not trigger:
+            continue
+        subsets = _split_subsets(vals2d[pos], all_idx, error_bound)
+        if len(subsets) < 2:
+            continue
+        # SPLIT: fit each subset separately, probing a rejoin at
+        # exponentially backed-off checkpoints
+        while pos < n_ts:
+            upto = min(pos + backoff, n_ts)
+            for sub in subsets:
+                _fit_group_run(
+                    conv,
+                    ts[pos:upto],
+                    np.ascontiguousarray(vals2d[pos:upto, sub]),
+                    [tids[j] for j in sub],
+                    all_tids,
+                    error_bound,
+                    length_bound,
+                    interval_ms,
+                    out,
+                )
+            pos = upto
+            if pos >= n_ts:
+                break
+            if len(_split_subsets(vals2d[pos], all_idx, error_bound)) == 1:
+                break  # rejoin: values mutually within the bound again
+            backoff *= 2
+
+
 def _fit_group_batches(
-    metrics: tuple[str, ...], error_bound: float, length_bound: int, interval_ms: int
+    metrics: tuple[str, ...],
+    error_bound: float,
+    length_bound: int,
+    interval_ms: int,
+    split_fraction: float | None = None,
 ):
     def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
         conv = pdf["conv_id"].to_numpy()
@@ -218,7 +470,7 @@ def _fit_group_batches(
             tids = [int(j) for j in np.flatnonzero(active[s])]
             if not tids:
                 continue
-            _fit_group_run(
+            args = (
                 conv[s],
                 ts[s:e],
                 vals[s:e][:, tids],
@@ -229,6 +481,10 @@ def _fit_group_batches(
                 interval_ms,
                 out,
             )
+            if split_fraction is None:
+                _fit_group_run(*args)
+            else:
+                _fit_group_run_dynamic(*args, split_fraction)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {c: [] for c in _GCOLS}
@@ -264,11 +520,17 @@ def fit_segments_grouped(
     wide_series: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     metrics: tuple[str, ...] = ("turn_rate", "tool_usage"),
+    dynamic_split_fraction: float | None = None,
 ) -> DataFrame:
     """Wide series (one row per active bin, one column per metric) ->
     GROUP segments. Same single-shuffle physical shape as
     fit_segments_wide: repartition by (conv, salt), sort within
-    partitions, fit in sorted Arrow batches."""
+    partitions, fit in sorted Arrow batches.
+
+    With `dynamic_split_fraction` set, the fit runs the reference's
+    ratio-feedback dynamic split/join inside each run (see
+    `_fit_group_run_dynamic`); pass `DYNAMIC_SPLIT_FRACTION` for the
+    reference default of 10."""
     salt_ms = cfg.salt_days * 86_400_000
     keyed = wide_series.withColumn(
         "salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long")
@@ -281,7 +543,11 @@ def fit_segments_grouped(
     )
     return arranged.mapInPandas(
         _fit_group_batches(
-            metrics, cfg.error_bound, cfg.length_bound, cfg.interval_ms
+            metrics,
+            cfg.error_bound,
+            cfg.length_bound,
+            cfg.interval_ms,
+            dynamic_split_fraction,
         ),
         GROUP_SEGMENT_SCHEMA,
     )
@@ -336,11 +602,20 @@ def decode_group_values(
     n_ts: int,
     gsize: int,
     goff: int,
+    start_ms: int = 0,
+    interval_ms: int = 1,
 ) -> np.ndarray:
     """Member values of a group segment: decode the interleaved payload
-    and stride by (goff, gsize). PMC is the shared constant."""
+    and stride by (goff, gsize). PMC is the shared constant; Swing is
+    the shared line float32(a*t + b), identical for every member."""
     if mtid == MTID_PMC:
         return np.full(n_ts, pmc_value(model), dtype=np.float32)
+    if mtid == MTID_SWING:
+        from modelardb_spark.models.swing import swing_decode
+
+        a, b = swing_decode(model)
+        t = start_ms + interval_ms * np.arange(n_ts, dtype=np.float64)
+        return (a * t + b).astype(np.float32)
     total = n_ts * gsize
     if mtid == MTID_GORILLA:
         return gorilla_decompress(model, total)[goff::gsize]
@@ -405,15 +680,25 @@ def grid_group(
     take the JVM explode path (value = p0 column expression); dense
     members decode vectorized with the group stride."""
     exploded = explode_group_segments(gseg, metrics)
-    analytic = exploded.where(F.col("mtid") == MTID_PMC)
+    analytic = exploded.where(F.col("mtid").isin(MTID_PMC, MTID_SWING))
     analytic_points = analytic.select(
         "conv_id",
         "metric",
+        "mtid",
+        "p0",
+        "p1",
         F.explode(
             F.sequence(F.col("start_ms"), F.col("end_ms"), F.col("interval_ms"))
         ).alias("bin_ms"),
-        F.col("p0").cast("float").alias("value"),
-    ).select("conv_id", "metric", "bin_ms", "value")
+    ).select(
+        "conv_id",
+        "metric",
+        "bin_ms",
+        F.when(F.col("mtid") == MTID_PMC, F.col("p0"))
+        .otherwise(F.col("p0") * F.col("bin_ms") + F.col("p1"))
+        .cast("float")
+        .alias("value"),
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -431,7 +716,7 @@ def grid_group(
                 }
             )
 
-    dense = exploded.where(F.col("mtid") != MTID_PMC).select(
+    dense = exploded.where(~F.col("mtid").isin(MTID_PMC, MTID_SWING)).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
         "mtid", "model", "goff", "gsize",
     )
@@ -448,9 +733,9 @@ def rollup_from_group_segments(
     per-series path); dense members decode once with the group stride
     and reduce per window (NumPy reduceat)."""
     exploded = explode_group_segments(gseg, metrics)
-    analytic = _analytic_partials(
-        exploded.where(F.col("mtid") == MTID_PMC), window_ms
-    )
+    # _analytic_partials keeps PMC AND Swing members (closed forms over
+    # p0/p1, shared with the per-series path)
+    analytic = _analytic_partials(exploded, window_ms)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -480,7 +765,7 @@ def rollup_from_group_segments(
                 }
             )
 
-    dense = exploded.where(F.col("mtid") != MTID_PMC).select(
+    dense = exploded.where(~F.col("mtid").isin(MTID_PMC, MTID_SWING)).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
         "mtid", "model", "goff", "gsize",
     )

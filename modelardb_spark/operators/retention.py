@@ -63,6 +63,39 @@ def apply_retention(
     return dropped
 
 
+def tiered_rollup_view(
+    r1m: DataFrame,
+    r1h: DataFrame,
+    r1d: DataFrame,
+    policy: RetentionPolicy,
+    now_ms: int,
+) -> DataFrame:
+    """In-memory variant of `tiered_rollup` over rollup FRAMES instead
+    of catalog tables: each tier keeps only the windows the policy
+    retains at `now_ms` (window day >= cutoff), labeled with a `tier`
+    column. Used by the driver-checked `tiered_rollup` query with a
+    fixed `now_ms` so the cutoffs are deterministic; the catalog
+    version applies the same predicate to the stored `part_day`
+    partition column (identical by construction: rollup tables
+    partition on window_ms // DAY_MS)."""
+    cut = retention_cutoffs(policy, now_ms)
+    frames = []
+    for table, df in (("rollup_1m", r1m), ("rollup_1h", r1h), ("rollup_1d", r1d)):
+        df = df.withColumn("tier", F.lit(table))
+        lo = cut.get(table)
+        if lo is not None:
+            df = df.where((F.col("window_ms") / DAY_MS).cast("long") >= lo)
+        frames.append(
+            df.select(
+                "tier", "conv_id", "metric", "window_ms", "cnt", "vmin", "vmax", "vsum", "mean"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def tiered_rollup(
     spark,
     catalog: TableCatalog,

@@ -110,6 +110,98 @@ def test_group_compression_beats_per_series(spark, wide, gseg):
     assert grp_bytes < per_bytes * 0.75
 
 
+def test_group_swing_on_correlated_linear_fixture(spark):
+    """The reference runs EVERY model type over the group's interleaved
+    stream, including Swing (SegmentGenerator.java:154-167,
+    SwingFilterModelType.java:36-103). On correlated same-scale linear
+    members one shared 8-16 B line must beat Gorilla: the fit emits
+    Swing group segments, the stored bytes undercut a Swing-less
+    cascade by an order of magnitude on this fixture, and the grid
+    reconstruction stays exact at bound 0."""
+    n = 120
+    bins = [60_000 * i for i in range(n)]
+    ramp = [float(np.float32(2.0 * i + 5.0)) for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * n,
+            "bin_ms": bins,
+            "turn_rate": ramp,
+            "tool_usage": ramp,  # identical linear members
+        }
+    )
+    wide = spark.createDataFrame(pdf)
+    gseg = fit_segments_grouped(wide, CFG, METRICS).cache()
+    rows = gseg.collect()
+    assert {r["mtid"] for r in rows} == {3}, [
+        (r["mtid"], r["n"]) for r in rows
+    ]
+    stored = sum(24 + len(r["model"]) for r in rows)
+    # Swing-less floor on this fixture: every value is distinct, so
+    # Gorilla XOR bytes scale with the point count; one line does not
+    assert stored < 16 * 2 * n / 10
+    got = sorted(
+        (r["metric"], r["bin_ms"], float(r["value"]))
+        for r in grid_group(gseg, METRICS).collect()
+    )
+    want = sorted((m, b, v) for m in METRICS for b, v in zip(bins, ramp))
+    assert got == want
+    # the rollup's analytic path handles the Swing members too
+    r1h = rollup_from_group_segments(gseg, HOUR_MS, METRICS).collect()
+    assert sum(r["cnt"] for r in r1h) == 2 * n
+    assert all(r["vsum"] == pytest.approx(sum(
+        v for b, v in zip(bins, ramp) if b // HOUR_MS * HOUR_MS == r["window_ms"]
+    )) for r in r1h)
+
+
+def test_ratio_feedback_split_beats_static_group(spark):
+    """Crafted poorly-grouping fixture: members identical for a long
+    stretch (group PMC shines, establishing a high running ratio
+    average), then one member turns to noise (the interleaved Gorilla
+    segment's ratio collapses). The ratio-feedback trigger
+    (SegmentGenerator.java:296-351) must split, letting the constant
+    member stay PMC while the noisy one goes Gorilla alone — strictly
+    fewer stored bytes than the static group fit — and reconstruction
+    must stay exact at bound 0."""
+    from modelardb_spark.operators.groupfit import DYNAMIC_SPLIT_FRACTION
+
+    rng = np.random.default_rng(7)
+    n = 200
+    bins = [60_000 * i for i in range(n)]
+    noise = [float(np.float32(v)) for v in rng.normal(50, 20, size=n)]
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * n,
+            "bin_ms": bins,
+            "turn_rate": [3.0] * n,
+            "tool_usage": [3.0] * 60 + noise[60:],
+        }
+    )
+    wide = spark.createDataFrame(pdf)
+    static = fit_segments_grouped(wide, CFG, METRICS).cache()
+    dynamic = fit_segments_grouped(
+        wide, CFG, METRICS, dynamic_split_fraction=DYNAMIC_SPLIT_FRACTION
+    ).cache()
+
+    def bytes_of(seg):
+        return seg.select(
+            F.sum(F.lit(24) + F.length("model") + F.size("gaps") * 4)
+        ).first()[0]
+
+    assert bytes_of(dynamic) < bytes_of(static)
+    # split happened: some segments cover only one member mid-run
+    assert dynamic.where(F.size("tids") == 1).count() > 0
+    # reconstruction stays exact
+    want = sorted(
+        (r["metric"], r["bin_ms"], float(np.float32(r["value"])))
+        for r in _narrow(wide).collect()
+    )
+    got = sorted(
+        (r["metric"], r["bin_ms"], float(r["value"]))
+        for r in grid_group(dynamic, METRICS).collect()
+    )
+    assert got == want
+
+
 def test_gap_protocol_explode(spark):
     """A member missing for a stretch must (a) split the run, (b) be
     recorded in `gaps` (absent-tid protocol, SegmentGroup.java:51-111),

@@ -112,7 +112,8 @@ def test_group_fit_roundtrip_property(rows, gaps_between):
             n_ts = int((row.end_ms - row.start_ms) // INTERVAL) + 1
             for goff, tid in enumerate(row.tids):
                 vals = decode_group_values(
-                    row.mtid, row.model, n_ts, row.group_size, goff
+                    row.mtid, row.model, n_ts, row.group_size, goff,
+                    row.start_ms, INTERVAL,
                 )
                 for j in range(n_ts):
                     b = row.start_ms + j * INTERVAL
