@@ -640,6 +640,27 @@ def _q_ratio_routed_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _std_rollup(rollup_from_group_segments(g, HOUR_MS))
 
 
+def _q_dim_group_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-driven CROSS-ENTITY grouping (Correlation.java:40-45
+    dimension-member clauses, Partitioner.java:95-124): every series of
+    conversations sharing a channel joins one group (sub-bucketed at 8
+    members), fitted with the shared group cascade and mapped back to
+    real (conv_id, metric) through the member registry at query time.
+    At bound 0 the 1h tier must equal the raw rollup exactly."""
+    from modelardb_spark.operators.dimensions import conversation_dimensions
+    from modelardb_spark.operators.dimgroup import (
+        dim_group_members,
+        fit_segments_dim_grouped,
+        rollup_from_dim_group_segments,
+    )
+
+    s = _series(spark, sf_dir)
+    dims = conversation_dimensions(s)
+    members = dim_group_members(s, dims, by="channel", max_group_size=8)
+    g = fit_segments_dim_grouped(s, members, CFG)
+    return _std_rollup(rollup_from_dim_group_segments(g, members, HOUR_MS))
+
+
 def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression accounting for the group path (rows-only check; the
     group-vs-per-series win is asserted in
@@ -1087,6 +1108,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "adaptive_rollup_1h": _q_adaptive_rollup_1h,
         "dynamic_group_rollup_1h": _q_dynamic_group_rollup_1h,
         "ratio_routed_rollup_1h": _q_ratio_routed_rollup_1h,
+        "dim_group_rollup_1h": _q_dim_group_rollup_1h,
         "group_compression_stats": _q_group_compression_stats,  # rows-only
         # training-data pipeline operators
         "token_count": _q_token_count,
@@ -1143,6 +1165,7 @@ WHERE n.next_ms IS NOT NULL
         "adaptive_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "dynamic_group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "ratio_routed_rollup_1h": _sql_raw_rollup(HOUR_MS),
+        "dim_group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "sql_surface_agg": (
             "WITH "
             + _SQL_SERIES

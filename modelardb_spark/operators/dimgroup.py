@@ -1,0 +1,253 @@
+"""Dimension-driven cross-entity grouping: the reference's Correlation
+clause surface (core/Correlation.java:40-45 — group time series by
+source name, by DIMENSION MEMBERS, by LCA level, or by distance;
+applied at partition time in core/Partitioner.java:95-124), where a
+group may span DIFFERENT sources.
+
+Here the dimension table (operators/dimensions.py) supplies the clause:
+every (conv_id, metric) series whose conversation carries the same
+dimension member (e.g. channel='web') joins one group sharing the
+1-minute bin grid. Groups are capped at `max_group_size` members via
+stable sub-buckets (the reference leaves group size to the user's
+clause; the cap bounds the interleave width — and therefore every
+fit/decode matrix — regardless of how many conversations a member
+value matches, which is what survives 100 TB).
+
+Physical shape mirrors `fit_segments_grouped`: one shuffle keyed on
+(group, salt-day), rows sorted by (bin, member), and — because members
+within a bin arrive sorted by member index — a run of bins with a
+stable active set is ALREADY the row-major interleaved payload, so the
+fit consumes it with a plain reshape (no per-value Python). Active-set
+change detection is a per-BIN comparison, not per-row.
+
+Trade-off (documented, the reference shares it): grouping only pays
+when members are actually aligned on the grid — sparse, weakly-
+overlapping series fragment runs and pay the 4-bytes-per-absent-member
+gap entries (ModelType.java:49-54), exactly as a bad user clause does
+in the reference. tests/test_dimgroup.py shows the dense-aligned win
+and the oracle pins exactness at bound 0 either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
+from modelardb_spark.operators.groupfit import (
+    GROUP_SEGMENT_SCHEMA,
+    _GCOLS,
+    _fit_group_run,
+    _rollup_from_exploded,
+)
+
+
+def dim_group_members(
+    series: DataFrame,
+    dims: DataFrame,
+    by: str = "channel",
+    max_group_size: int = 8,
+) -> DataFrame:
+    """Member registry: (gkey, conv_id, metric, midx, gsize) — every
+    series of a dimension-member group, with a stable member index.
+    Groups larger than `max_group_size` split into deterministic
+    sub-buckets (gkey = '<member>#<bucket>') so the interleave width is
+    bounded. This is the engine's analogue of the reference's startup
+    group formation (Partitioner.java:95-124) and is pure metadata —
+    O(#series) rows."""
+    m = (
+        series.select("conv_id", "metric")
+        .distinct()
+        .join(F.broadcast(dims.select("conv_id", by)), "conv_id")
+    )
+    w = Window.partitionBy(by).orderBy("conv_id", "metric")
+    m = (
+        m.withColumn("rank0", F.row_number().over(w) - 1)
+        .withColumn("bucket", (F.col("rank0") / max_group_size).cast("int"))
+        .withColumn("gkey", F.concat_ws("#", F.col(by), F.col("bucket")))
+        .withColumn("midx", (F.col("rank0") % max_group_size).cast("int"))
+    )
+    gsz = m.groupBy("gkey").agg(F.count("*").alias("gsize"))
+    return m.join(gsz, "gkey").select("gkey", "conv_id", "metric", "midx", "gsize")
+
+
+def _fit_dim_group_batches(
+    error_bound: float, length_bound: int, interval_ms: int
+):
+    """mapInPandas kernel over rows sorted by (gkey, salt, bin_ms,
+    midx): split into runs of a stable active-member set, reshape each
+    run's rows into the (T, K) interleaved matrix, and hand it to the
+    shared group cascade."""
+
+    def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+        n = len(pdf)
+        if n == 0:
+            return
+        gkey = pdf["gkey"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        ts = pdf["bin_ms"].to_numpy().astype(np.int64)
+        midx = pdf["midx"].to_numpy().astype(np.int64)
+        val = pdf["value"].to_numpy().astype(np.float32)
+        gsize = pdf["gsize"].to_numpy().astype(np.int64)
+        # bin boundaries: (gkey, salt, bin) change
+        newbin = np.ones(n, dtype=bool)
+        newbin[1:] = (
+            (gkey[1:] != gkey[:-1])
+            | (salt[1:] != salt[:-1])
+            | (ts[1:] != ts[:-1])
+        )
+        bstart = np.flatnonzero(newbin)
+        bend = np.concatenate((bstart[1:], [n]))
+        n_bins = bstart.size
+
+        run_first = 0  # first bin index of the open run
+        for i in range(1, n_bins + 1):
+            if i < n_bins:
+                s_prev, e_prev = bstart[i - 1], bend[i - 1]
+                s, e = bstart[i], bend[i]
+                same = (
+                    gkey[s] == gkey[s_prev]
+                    and salt[s] == salt[s_prev]
+                    and ts[s] - ts[s_prev] <= interval_ms
+                    and (e - s) == (e_prev - s_prev)
+                    and bool(np.array_equal(midx[s:e], midx[s_prev:e_prev]))
+                )
+                if same:
+                    continue
+            # flush run [run_first, i)
+            r0, r1 = bstart[run_first], bend[i - 1]
+            k = int(bend[run_first] - bstart[run_first])
+            t_run = ts[bstart[run_first:i]]
+            vals2d = val[r0:r1].reshape(-1, k)
+            tids = [int(x) for x in midx[bstart[run_first] : bend[run_first]]]
+            _fit_group_run(
+                gkey[r0],
+                t_run,
+                vals2d,
+                tids,
+                list(range(int(gsize[r0]))),
+                error_bound,
+                length_bound,
+                interval_ms,
+                out,
+            )
+            run_first = i
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {c: [] for c in _GCOLS}
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            gk = pdf["gkey"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            key_change = np.zeros(len(pdf), dtype=bool)
+            if len(pdf) > 1:
+                key_change[1:] = (gk[1:] != gk[:-1]) | (salt[1:] != salt[:-1])
+            boundaries = np.flatnonzero(key_change)
+            if boundaries.size == 0:
+                carry = pdf
+                continue
+            cut = boundaries[-1]
+            carry = pdf.iloc[cut:]
+            process(pdf.iloc[:cut], out)
+            if out["n"]:
+                yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+                out = {c: [] for c in _GCOLS}
+        if carry is not None and len(carry):
+            process(carry, out)
+        if out["n"]:
+            yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+
+    return run
+
+
+def fit_segments_dim_grouped(
+    series: DataFrame,
+    members: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Narrow series (conv_id, metric, bin_ms, value) + member registry
+    -> GROUP segments whose `conv_id` column holds the group key. One
+    shuffle, keyed on (gkey, salt-day) with the usual day salting, so a
+    hot dimension member never exceeds one day x `max_group_size`
+    members per task."""
+    salt_ms = cfg.salt_days * 86_400_000
+    rows = (
+        series.join(members, ["conv_id", "metric"])
+        .withColumn("salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long"))
+        .select("gkey", "salt", "bin_ms", "midx", "value", "gsize")
+    )
+    num = cfg.shuffle_partitions or int(
+        series.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arranged = rows.repartition(num, "gkey", "salt").sortWithinPartitions(
+        "gkey", "salt", "bin_ms", "midx"
+    )
+    return arranged.mapInPandas(
+        _fit_dim_group_batches(cfg.error_bound, cfg.length_bound, cfg.interval_ms),
+        GROUP_SEGMENT_SCHEMA,
+    )
+
+
+def explode_dim_group_segments(gseg: DataFrame, members: DataFrame) -> DataFrame:
+    """Group segment -> one logical segment per present member, mapped
+    back to its real (conv_id, metric) through the registry
+    (SegmentGroup.explode:51-111 with the reference's gid -> tid
+    mapping). `ukey` keeps the group key so the decoder still collapses
+    one payload per group row."""
+    e = gseg.select(
+        F.col("conv_id").alias("gkey"),
+        "start_ms",
+        "end_ms",
+        "interval_ms",
+        "mtid",
+        "model",
+        "group_size",
+        "p0",
+        "p1",
+        F.posexplode("tids").alias("goff", "tid"),
+        "seg_cnt",
+        "seg_min",
+        "seg_max",
+        "seg_sum",
+    )
+    reg = members.select(
+        "gkey", F.col("midx").alias("tid"), "conv_id", "metric"
+    )
+    return (
+        e.join(F.broadcast(reg), ["gkey", "tid"])
+        .select(
+            "conv_id",
+            "metric",
+            "start_ms",
+            "end_ms",
+            "interval_ms",
+            "mtid",
+            "model",
+            F.element_at("seg_cnt", F.col("goff") + 1).alias("seg_cnt"),
+            F.element_at("seg_min", F.col("goff") + 1).alias("seg_min"),
+            F.element_at("seg_max", F.col("goff") + 1).alias("seg_max"),
+            F.element_at("seg_sum", F.col("goff") + 1).alias("seg_sum"),
+            "p0",
+            "p1",
+            "goff",
+            F.col("group_size").alias("gsize"),
+            F.col("gkey").alias("ukey"),
+        )
+    )
+
+
+def rollup_from_dim_group_segments(
+    gseg: DataFrame, members: DataFrame, window_ms: int
+) -> DataFrame:
+    """Windowed rollup straight from dimension-group segments — the
+    shared analytic/dense tail over the registry-mapped explode."""
+    return _rollup_from_exploded(
+        explode_dim_group_segments(gseg, members), window_ms
+    )

@@ -644,7 +644,12 @@ def _decode_member_batch(pdf: pd.DataFrame):
     start, si)."""
     from modelardb_spark.models.segment import decode_dense_matrix
 
-    conv = pdf["conv_id"].to_numpy()
+    # members of one group row share `ukey` (the group key) even when
+    # their logical conv_id differs (dimension-driven cross-entity
+    # groups); per-conversation groups fall back to conv_id
+    conv = (
+        pdf["ukey"] if "ukey" in pdf.columns else pdf["conv_id"]
+    ).to_numpy()
     start = pdf["start_ms"].to_numpy().astype(np.int64)
     end = pdf["end_ms"].to_numpy().astype(np.int64)
     si = pdf["interval_ms"].to_numpy().astype(np.int64)
@@ -732,7 +737,14 @@ def rollup_from_group_segments(
     the closed-form splitting partials (pure JVM, shared with the
     per-series path); dense members decode once with the group stride
     and reduce per window (NumPy reduceat)."""
-    exploded = explode_group_segments(gseg, metrics)
+    return _rollup_from_exploded(explode_group_segments(gseg, metrics), window_ms)
+
+
+def _rollup_from_exploded(exploded: DataFrame, window_ms: int) -> DataFrame:
+    """Shared rollup tail over an EXPLODED group-segment frame (per-
+    conversation or dimension-driven): analytic closed forms for
+    PMC/Swing members, strided vectorized decode for the dense rest,
+    one final hash aggregation."""
     # _analytic_partials keeps PMC AND Swing members (closed forms over
     # p0/p1, shared with the per-series path)
     analytic = _analytic_partials(exploded, window_ms)
@@ -765,9 +777,12 @@ def rollup_from_group_segments(
                 }
             )
 
-    dense = exploded.where(~F.col("mtid").isin(MTID_PMC, MTID_SWING)).select(
+    dense_cols = [
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
         "mtid", "model", "goff", "gsize",
+    ] + (["ukey"] if "ukey" in exploded.columns else [])
+    dense = exploded.where(~F.col("mtid").isin(MTID_PMC, MTID_SWING)).select(
+        *dense_cols
     )
     partials = analytic.unionByName(dense.mapInPandas(run, ROLLUP_SCHEMA))
     return (
