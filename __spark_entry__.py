@@ -140,13 +140,13 @@ def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # wide fit path: identical segment rows, half the shuffled rows
-    # (tests/test_fit_wide.py asserts equality with the narrow path)
-    from modelardb_spark.operators.fit import fit_segments_wide
-    from modelardb_spark.operators.series import derive_series_wide
+    # FUSED derive+fit: one shuffle of minimal turn rows, per-bin
+    # aggregation inside the fit kernel; identical segment rows to the
+    # two-step and narrow paths (tests/test_fit_wide.py)
+    from modelardb_spark.operators.fit import fit_segments_from_transcripts
 
-    return fit_segments_wide(
-        derive_series_wide(transcripts_from_events(spark, sf_dir), CFG), CFG
+    return fit_segments_from_transcripts(
+        transcripts_from_events(spark, sf_dir), CFG
     )
 
 

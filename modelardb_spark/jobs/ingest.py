@@ -99,16 +99,20 @@ def ingest(
         part = staged.where(
             F.col("part_day").isin([int(d) for d in chunk])
         ).drop("part_day")
-        series = derive_series_wide(part, cfg)
         if grouped:
             from modelardb_spark.operators.groupfit import fit_segments_grouped
 
             segments = with_part_key(
-                fit_segments_grouped(series, cfg), cfg.conv_buckets
+                fit_segments_grouped(derive_series_wide(part, cfg), cfg),
+                cfg.conv_buckets,
             )
         else:
+            # fused derive+fit: one shuffle of minimal turn rows per
+            # chunk instead of a derive exchange plus a fit exchange
+            from modelardb_spark.operators.fit import fit_segments_from_transcripts
+
             segments = with_part_key(
-                fit_segments_wide(series, cfg), cfg.conv_buckets
+                fit_segments_from_transcripts(part, cfg), cfg.conv_buckets
             )
         segments = segments.persist()
         seg_rows = segments.count()

@@ -1,0 +1,164 @@
+"""Query endpoint: the reference's QueryInterface entry points at
+library scale (remote/QueryInterface.scala:35-106 dispatches on
+`modelardb.interface` to a SOCKET server, a query FILE, or a stdin
+REPL; results stream back as JSON — QueryInterface.scala:59-63).
+
+Modes (mutually exclusive, REPL is the default):
+
+    # one-shot
+    python -m modelardb_spark.jobs.query_server \
+        --events /root/testdata/sf0.001/events.parquet \
+        --sql "SELECT MIN_S(#) FROM segments"
+
+    # reference file mode: ;-separated statements
+    ... --file queries.sql
+
+    # reference socket mode: one SQL statement per line, JSON rows back
+    ... --socket-port 9999
+
+Reference-style SQL runs verbatim: the session carries the `segments`
+and `data_points` views (operators/views.py), the COUNT_S..AVG_S
+aggregates, START/END/START_END restrictions, and the `#` argument
+sugar (operators/sqlfunctions.py). Segments come from a prior ingest
+run (--segments-dir, reading the stored table) or are fitted on the
+fly from an events parquet (--events).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socketserver
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+from modelardb_spark.config import EngineConfig
+from modelardb_spark.operators.sqlfunctions import (
+    register_sql_functions,
+    segment_sql,
+)
+from modelardb_spark.operators.views import register_views
+
+
+def prepare_session(
+    spark: SparkSession,
+    events: str | None = None,
+    segments_dir: str | None = None,
+    error_bound: float = 0.0,
+) -> DataFrame:
+    """Register the query surface (views + SQL functions) over segments
+    fitted from `events` or read from a stored ingest output; returns
+    the segments frame."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = EngineConfig(error_bound=error_bound)
+    if segments_dir is not None:
+        seg = spark.read.parquet(f"{segments_dir}/segments")
+    elif events is not None:
+        from modelardb_spark.operators.fit import fit_segments_wide
+        from modelardb_spark.operators.series import derive_series_wide
+        from modelardb_spark.operators.transcripts import transcripts_from_events
+
+        import os
+
+        sf_dir = os.path.dirname(os.path.abspath(events))
+        seg = fit_segments_wide(
+            derive_series_wide(transcripts_from_events(spark, sf_dir), cfg), cfg
+        )
+    else:
+        raise ValueError("one of --events / --segments-dir is required")
+    register_views(spark, seg)
+    register_sql_functions(spark)
+    return seg
+
+
+def execute(spark: SparkSession, sql: str) -> DataFrame:
+    """Run one reference-style statement (expands the `#` sugar)."""
+    return segment_sql(spark, sql)
+
+
+def rows_json(df: DataFrame, limit: int = 1000) -> list[str]:
+    """Result rows as JSON lines (QueryInterface.scala:59-63 streams
+    JSON back on every interface)."""
+    return [
+        json.dumps(r.asDict(recursive=True), default=str)
+        for r in df.limit(limit).collect()
+    ]
+
+
+def make_socket_server(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 0, limit: int = 1000
+) -> socketserver.ThreadingTCPServer:
+    """Line protocol: one SQL statement in, JSON rows out, terminated
+    by `-- ok <n>` or `-- error <msg>` (the reference's socket
+    interface shape). Returns the (not yet serving) server so callers
+    own the lifecycle; `server.server_address[1]` is the bound port."""
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self) -> None:
+            for raw in self.rfile:
+                q = raw.decode("utf-8", errors="replace").strip().rstrip(";")
+                if not q:
+                    continue
+                try:
+                    out = rows_json(execute(spark, q), limit)
+                    for line in out:
+                        self.wfile.write(line.encode() + b"\n")
+                    self.wfile.write(f"-- ok {len(out)}\n".encode())
+                except Exception as e:  # surface, never kill the server
+                    msg = str(e).replace("\n", " ")[:500]
+                    self.wfile.write(f"-- error {msg}\n".encode())
+                self.wfile.flush()
+
+    srv = socketserver.ThreadingTCPServer((host, port), Handler)
+    srv.daemon_threads = True
+    return srv
+
+
+def run_statements(spark: SparkSession, text: str, limit: int) -> None:
+    for stmt in text.split(";"):
+        if stmt.strip():
+            for line in rows_json(execute(spark, stmt), limit):
+                print(line)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events", help="events parquet to fit on the fly")
+    ap.add_argument("--segments-dir", help="ingest output root with segments/")
+    ap.add_argument("--error-bound", type=float, default=0.0)
+    ap.add_argument("--sql", help="one-shot statement(s), ;-separated")
+    ap.add_argument("--file", help="query file, ;-separated statements")
+    ap.add_argument("--socket-port", type=int, help="serve a TCP line protocol")
+    ap.add_argument("--limit", type=int, default=1000, help="max rows per result")
+    args = ap.parse_args(argv)
+
+    from modelardb_spark.session import get_spark
+
+    spark = get_spark(app_name="modelardb-query-server")
+    prepare_session(spark, args.events, args.segments_dir, args.error_bound)
+
+    if args.sql:
+        run_statements(spark, args.sql, args.limit)
+    elif args.file:
+        with open(args.file) as f:
+            run_statements(spark, f.read(), args.limit)
+    elif args.socket_port is not None:
+        srv = make_socket_server(spark, "0.0.0.0", args.socket_port, args.limit)
+        print(f"-- serving on {srv.server_address[0]}:{srv.server_address[1]}")
+        srv.serve_forever()
+    else:  # REPL
+        print("-- modelardb_spark SQL (reference-style, # sugar); Ctrl-D exits")
+        for raw in sys.stdin:
+            q = raw.strip().rstrip(";")
+            if not q:
+                continue
+            try:
+                for line in rows_json(execute(spark, q), args.limit):
+                    print(line)
+            except Exception as e:
+                print(f"-- error {e}")
+
+
+if __name__ == "__main__":
+    main()

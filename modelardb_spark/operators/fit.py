@@ -383,6 +383,120 @@ def _fit_batches_wide(
     return run
 
 
+def _fit_batches_turns(error_bound: float, length_bound: int, interval_ms: int):
+    """Kernel for the FUSED derive+fit path: input rows are raw turns
+    (conv_id, salt, bin_ms, tool_flag) sorted by (conv, salt, bin); the
+    per-bin aggregation (turn_rate = count, tool_usage = sum of flags)
+    happens vectorized here (one reduceat family), then the same
+    `_fit_sorted_block` fits both metric columns. Output rows are
+    identical to `_fit_batches_wide` over `derive_series_wide`."""
+
+    def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+        n = len(pdf)
+        if n == 0:
+            return
+        conv = pdf["conv_id"].to_numpy()
+        salt = pdf["salt"].to_numpy()
+        ts = pdf["bin_ms"].to_numpy().astype(np.int64)
+        tool = pdf["tool_flag"].to_numpy().astype(np.int64)
+        newbin = np.ones(n, dtype=bool)
+        newbin[1:] = (
+            (conv[1:] != conv[:-1])
+            | (salt[1:] != salt[:-1])
+            | (ts[1:] != ts[:-1])
+        )
+        bs = np.flatnonzero(newbin)
+        counts = np.diff(np.concatenate((bs, [n])))
+        tools = np.add.reduceat(tool, bs)
+        bconv, bsalt, bts = conv[bs], salt[bs], ts[bs]
+        for name, vals in (("turn_rate", counts), ("tool_usage", tools)):
+            _fit_sorted_block(
+                bconv,
+                np.full(bs.size, name, dtype=object),
+                bsalt,
+                bts,
+                vals.astype(np.float32),
+                error_bound,
+                length_bound,
+                interval_ms,
+                out,
+            )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {c: [] for c in _COLS}
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            conv = pdf["conv_id"].to_numpy()
+            salt = pdf["salt"].to_numpy()
+            key_change = np.zeros(len(pdf), dtype=bool)
+            if len(pdf) > 1:
+                key_change[1:] = (conv[1:] != conv[:-1]) | (salt[1:] != salt[:-1])
+            boundaries = np.flatnonzero(key_change)
+            if boundaries.size == 0:
+                carry = pdf
+                continue
+            cut = boundaries[-1]
+            carry = pdf.iloc[cut:]
+            process(pdf.iloc[:cut], out)
+            df = _flush(out, interval_ms)
+            if df is not None:
+                yield df
+        if carry is not None and len(carry):
+            process(carry, out)
+            df = _flush(out, interval_ms)
+            if df is not None:
+                yield df
+
+    return run
+
+
+def fit_segments_from_transcripts(
+    transcripts: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """FUSED derive+fit: transcripts -> segments with ONE shuffle
+    total.
+
+    The two-step path (`derive_series_wide` then `fit_segments_wide`)
+    pays two full exchanges of point-sized data: the derive hash
+    aggregate shuffles on (conv_id, bin) and the fit repartition
+    shuffles the bins again on (conv_id, salt). Because the fit kernel
+    already walks rows sorted by (conv, salt, bin), the per-bin
+    aggregation folds into it for free (one reduceat), so this path
+    shuffles raw MINIMAL turn rows (conv_id, bin_ms, 1-byte tool flag)
+    exactly once and never materializes the bins frame. Segment rows
+    are identical to the two-step path (tests/test_fit_wide.py).
+
+    Trade-off: with heavily bursty data (many turns per bin) the
+    two-step path's map-side partial aggregation shrinks the shuffle
+    more than the saved exchange; at the transcripts workload's ~1-2
+    turns/bin the single exchange wins."""
+    iv = cfg.interval_ms
+    salt_ms = cfg.salt_days * 86_400_000
+    rows = transcripts.select(
+        "conv_id",
+        (
+            F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / iv) * iv
+        ).alias("bin_ms"),
+        F.when(F.col("tool").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("tinyint")
+        .alias("tool_flag"),
+    ).withColumn("salt", (F.col("bin_ms") / F.lit(salt_ms)).cast("long"))
+    num = cfg.shuffle_partitions or int(
+        transcripts.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arranged = rows.repartition(num, "conv_id", "salt").sortWithinPartitions(
+        "conv_id", "salt", "bin_ms"
+    )
+    return arranged.mapInPandas(
+        _fit_batches_turns(cfg.error_bound, cfg.length_bound, cfg.interval_ms),
+        SEGMENT_SCHEMA,
+    )
+
+
 def fit_segments_wide(
     wide_series: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,

@@ -1,0 +1,64 @@
+"""End-to-end tests for the query endpoint (the reference's
+QueryInterface shape, remote/QueryInterface.scala:35-106): reference-
+style SQL with the `#` sugar through the library API and through the
+socket line protocol."""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+
+from modelardb_spark.jobs.query_server import (
+    execute,
+    make_socket_server,
+    prepare_session,
+)
+
+
+def test_reference_sql_runs_verbatim(spark, sf_small):
+    prepare_session(spark, events=f"{sf_small}/events.parquet")
+    df = execute(
+        spark,
+        """
+        SELECT conv_id, metric,
+               COUNT_S(#) AS cnt, MIN_S(#) AS vmin, MAX_S(#) AS vmax
+        FROM segments GROUP BY conv_id, metric
+        """,
+    )
+    rows = df.collect()
+    assert rows and all(r["cnt"] > 0 and r["vmin"] <= r["vmax"] for r in rows)
+    # the point view answers too (delegation surface)
+    n_pts = execute(spark, "SELECT COUNT(*) AS n FROM data_points").first()["n"]
+    assert n_pts == sum(r["cnt"] for r in rows)
+
+
+def test_socket_interface_round_trip(spark, sf_small):
+    prepare_session(spark, events=f"{sf_small}/events.parquet")
+    srv = make_socket_server(spark, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        with socket.create_connection((host, port), timeout=120) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            f.write("SELECT COUNT_S(#) AS cnt FROM segments;\n")
+            f.flush()
+            lines = []
+            while True:
+                ln = f.readline().strip()
+                lines.append(ln)
+                if ln.startswith("--"):
+                    break
+            assert lines[-1] == "-- ok 1"
+            assert json.loads(lines[0])["cnt"] > 0
+            # errors surface without killing the connection
+            f.write("SELECT FROM nowhere;\n")
+            f.flush()
+            assert f.readline().startswith("-- error")
+            f.write("SELECT 1 AS one;\n")
+            f.flush()
+            assert json.loads(f.readline())["one"] == 1
+            assert f.readline().strip() == "-- ok 1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
