@@ -115,6 +115,46 @@ def make_socket_server(
     return srv
 
 
+def make_http_server(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 0, limit: int = 1000
+):
+    """HTTP mode (the reference's `modelardb.interface http`,
+    QueryInterface.scala:35-106): POST the SQL as the request body (or
+    GET /?q=...), receive JSON lines. Returns the (not yet serving)
+    server; `server.server_address[1]` is the bound port."""
+    import http.server
+    import urllib.parse
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _run(self, q: str) -> None:
+            try:
+                body = "\n".join(rows_json(execute(spark, q), limit)) + "\n"
+                code = 200
+            except Exception as e:
+                body = json.dumps({"error": str(e)[:500]}) + "\n"
+                code = 400
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self) -> None:
+            qs = urllib.parse.urlparse(self.path).query
+            q = urllib.parse.parse_qs(qs).get("q", [""])[0]
+            self._run(q)
+
+        def do_POST(self) -> None:
+            n = int(self.headers.get("Content-Length", "0"))
+            self._run(self.rfile.read(n).decode("utf-8", errors="replace"))
+
+    return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
 def run_statements(spark: SparkSession, text: str, limit: int) -> None:
     for stmt in text.split(";"):
         if stmt.strip():
@@ -130,6 +170,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--sql", help="one-shot statement(s), ;-separated")
     ap.add_argument("--file", help="query file, ;-separated statements")
     ap.add_argument("--socket-port", type=int, help="serve a TCP line protocol")
+    ap.add_argument("--http-port", type=int, help="serve HTTP (POST SQL / GET ?q=)")
     ap.add_argument("--limit", type=int, default=1000, help="max rows per result")
     args = ap.parse_args(argv)
 
@@ -146,6 +187,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.socket_port is not None:
         srv = make_socket_server(spark, "0.0.0.0", args.socket_port, args.limit)
         print(f"-- serving on {srv.server_address[0]}:{srv.server_address[1]}")
+        srv.serve_forever()
+    elif args.http_port is not None:
+        srv = make_http_server(spark, "0.0.0.0", args.http_port, args.limit)
+        print(f"-- http on {srv.server_address[0]}:{srv.server_address[1]}")
         srv.serve_forever()
     else:  # REPL
         print("-- modelardb_spark SQL (reference-style, # sugar); Ctrl-D exits")

@@ -202,6 +202,68 @@ def test_ratio_feedback_split_beats_static_group(spark):
     assert got == want
 
 
+def test_group_lossy_bound_holds_on_all_group_paths(spark, wide):
+    """At a 5% bound, every point reconstructed from GROUP segments —
+    static, ratio-feedback dynamic, and dimension-driven — must satisfy
+    the reference percentage-error semantics (Static.java:106-119:
+    approx==real -> 0, real==0 -> inf unless equal)."""
+    from modelardb_spark.operators.dimgroup import (
+        dim_group_members,
+        fit_segments_dim_grouped,
+    )
+    from modelardb_spark.operators.groupfit import DYNAMIC_SPLIT_FRACTION
+
+    lossy = EngineConfig(error_bound=5.0)
+    real = _narrow(wide).select(
+        "conv_id", "metric", "bin_ms", F.col("value").alias("real_f")
+    )
+
+    def violations(points):
+        j = points.select(
+            "conv_id", "metric", "bin_ms", F.col("value").alias("approx_f")
+        ).join(real, ["conv_id", "metric", "bin_ms"])
+        real_d = F.col("real_f").cast("double")
+        approx_d = F.col("approx_f").cast("double")
+        pct = (
+            F.when(approx_d == real_d, F.lit(0.0))
+            .when(real_d == 0.0, F.lit(float("inf")))
+            .otherwise(F.abs((real_d - approx_d) / real_d) * 100.0)
+        )
+        # anti-join both ways must also be empty (same coverage)
+        assert j.count() == points.count() == real.count()
+        return j.where(pct > 5.0).count()
+
+    assert violations(grid_group(fit_segments_grouped(wide, lossy, METRICS))) == 0
+    assert (
+        violations(
+            grid_group(
+                fit_segments_grouped(
+                    wide, lossy, METRICS,
+                    dynamic_split_fraction=DYNAMIC_SPLIT_FRACTION,
+                )
+            )
+        )
+        == 0
+    )
+    from pyspark.sql import functions as SF
+
+    narrow = _narrow(wide)
+    dims = spark.createDataFrame(
+        [(r["conv_id"], "web") for r in narrow.select("conv_id").distinct().collect()],
+        "conv_id string, channel string",
+    )
+    members = dim_group_members(narrow, dims, by="channel", max_group_size=8)
+    from modelardb_spark.operators.dimgroup import rollup_from_dim_group_segments
+
+    gseg = fit_segments_dim_grouped(narrow, members, lossy)
+    # reconstruct via the 1m tier (window == bin -> per-point values)
+    pts = rollup_from_dim_group_segments(gseg, members, 60_000).select(
+        "conv_id", "metric", SF.col("window_ms").alias("bin_ms"),
+        SF.col("vmin").alias("value"),
+    )
+    assert violations(pts) == 0
+
+
 def test_gap_protocol_explode(spark):
     """A member missing for a stretch must (a) split the run, (b) be
     recorded in `gaps` (absent-tid protocol, SegmentGroup.java:51-111),

@@ -80,6 +80,30 @@ def test_restrict_pushes_bounds_to_parquet(spark, sf_small, tmp_path):
     assert "end_ms" in pushed and "start_ms" in pushed, pushed
 
 
+def test_fused_fit_is_single_exchange(spark, sf_small):
+    """The FUSED derive+fit must shuffle exactly once (the fit
+    repartition) with no hash-aggregate stage at all — the two-step
+    path pays a derive aggregation exchange on top."""
+    from modelardb_spark.operators.fit import fit_segments_from_transcripts
+
+    fused = _plan(
+        fit_segments_from_transcripts(
+            transcripts_from_events(spark, sf_small), EngineConfig()
+        )
+    )
+    assert fused.count("Exchange hashpartitioning") == 1, fused
+    assert "HashAggregate" not in fused
+    two_step = _plan(
+        fit_segments_wide(
+            derive_series_wide(transcripts_from_events(spark, sf_small)),
+        )
+    )
+    assert two_step.count("Exchange hashpartitioning") == 2
+    # and the fused scan still prunes the text payload
+    scan = fused[fused.index("ReadSchema"):][:400]
+    assert "props" not in scan, scan
+
+
 def test_rollup_is_single_hash_agg_pair(spark, sf_small, tmp_path):
     """From a STORED segments table, the 1h rollup plan is scan ->
     map-side partials -> ONE exchange -> final hash aggregate; no

@@ -11,6 +11,7 @@ import threading
 
 from modelardb_spark.jobs.query_server import (
     execute,
+    make_http_server,
     make_socket_server,
     prepare_session,
 )
@@ -59,6 +60,32 @@ def test_socket_interface_round_trip(spark, sf_small):
             f.flush()
             assert json.loads(f.readline())["one"] == 1
             assert f.readline().strip() == "-- ok 1"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_interface_round_trip(spark, sf_small):
+    import urllib.parse
+    import urllib.request
+
+    prepare_session(spark, events=f"{sf_small}/events.parquet")
+    srv = make_http_server(spark, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        _, port = srv.server_address
+        q = urllib.parse.quote("SELECT COUNT_S(#) AS cnt FROM segments")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/?q={q}", timeout=120
+        ) as r:
+            assert json.loads(r.read().decode())["cnt"] > 0
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/",
+            data=b"SELECT 2 AS two",
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read().decode())["two"] == 2
     finally:
         srv.shutdown()
         srv.server_close()
