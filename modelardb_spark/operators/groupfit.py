@@ -329,13 +329,14 @@ def _fit_group_run(
 
 
 def _split_subsets(
-    row: np.ndarray, idx: list[int], error_bound: float
+    window: np.ndarray, idx: list[int], error_bound: float
 ) -> list[list[int]]:
     """Partition present-member COLUMN indexes into subsets mutually
-    within DOUBLE the error bound of each other at the decision
-    timestamp — the reference's split rule (SegmentGenerator.java:
-    296-351 splits into generators whose series pairwise satisfy the
-    doubled bound; greedy leader grouping like its sequential scan)."""
+    within DOUBLE the error bound over every row of `window` (a (W, N)
+    value block) — the reference's split rule compares the members'
+    BUFFERED data points pairwise at the doubled bound
+    (SegmentGenerator.java:296-351, `withinErrorBound(2 * errorBound,
+    buffer...)`) with the same greedy leader scan."""
     remaining = list(idx)
     subsets: list[list[int]] = []
     while remaining:
@@ -345,8 +346,8 @@ def _split_subsets(
             for j in remaining
             if not outside_bound_vec(
                 2.0 * error_bound,
-                np.asarray([row[j]], dtype=np.float32),
-                np.asarray([row[lead]], dtype=np.float32),
+                np.ascontiguousarray(window[:, j], dtype=np.float32),
+                np.ascontiguousarray(window[:, lead], dtype=np.float32),
             ).any()
         ]
         subsets.append(sub)
@@ -354,13 +355,21 @@ def _split_subsets(
     return subsets
 
 
-#: reference default for modelardb.dynamic_split_fraction
-#: (SegmentGenerator.java:296-351 trigger threshold)
-DYNAMIC_SPLIT_FRACTION = 10.0
+#: reference default for modelardb.dynamic_split_fraction: split when a
+#: finalized segment compresses below 10% of the group's running
+#: average ratio (modelardb.conf:79, SegmentGenerator.java:290)
+DYNAMIC_SPLIT_FRACTION = 0.10
 
-#: initial rejoin back-off in timestamps; doubles per failed attempt
-#: (SegmentGenerator.java:403-455 exponential back-off)
+#: initial rejoin back-off in timestamps; doubles per failed attempt —
+#: the analogue of the reference doubling
+#: finalizedSegmentsBeforeNextJoinCheck between join probes
+#: (SegmentGenerator.java:263-267)
 _REJOIN_BACKOFF_TS = 4
+
+#: decision-buffer length for split/rejoin correlation checks (the
+#: reference compares the members' buffered points; a batch engine has
+#: no live buffer, so a bounded lookahead window stands in)
+_DECISION_WINDOW_TS = 16
 
 
 def _fit_group_run_dynamic(
@@ -410,7 +419,9 @@ def _fit_group_run_dynamic(
         ratios.append(ratio)
         if not trigger:
             continue
-        subsets = _split_subsets(vals2d[pos], all_idx, error_bound)
+        subsets = _split_subsets(
+            vals2d[pos : pos + _DECISION_WINDOW_TS], all_idx, error_bound
+        )
         if len(subsets) < 2:
             continue
         # SPLIT: fit each subset separately, probing a rejoin at
@@ -432,7 +443,8 @@ def _fit_group_run_dynamic(
             pos = upto
             if pos >= n_ts:
                 break
-            if len(_split_subsets(vals2d[pos], all_idx, error_bound)) == 1:
+            probe = vals2d[pos : pos + _DECISION_WINDOW_TS]
+            if len(_split_subsets(probe, all_idx, error_bound)) == 1:
                 break  # rejoin: values mutually within the bound again
             backoff *= 2
 
