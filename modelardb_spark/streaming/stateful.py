@@ -82,9 +82,41 @@ def _fit_closed(conv: str, bins, tr, tu, cfg: EngineConfig) -> pd.DataFrame | No
     return _flush(out, cfg.interval_ms)
 
 
-def _stateful_fit(cfg: EngineConfig, flush_after_ms: int):
+def _fit_closed_grouped(
+    conv: str, bins, tr, tu, cfg: EngineConfig
+) -> pd.DataFrame | None:
+    """Grouped variant of `_fit_closed`: the closed runs go through the
+    multi-series GROUP cascade (one interleaved model row covers both
+    metrics — the reference streams groups through the same
+    SegmentGenerator as batch ingest). The state already holds the wide
+    frame the group fitter consumes; every active bin carries BOTH
+    counts (0 is a value, not a gap), so the active set is stable."""
+    if not len(bins):
+        return None
+    from modelardb_spark.operators.groupfit import _fit_group_batches
+
+    bins = np.asarray(bins, dtype=np.int64)
+    salt_ms = cfg.salt_days * 86_400_000
+    pdf = pd.DataFrame(
+        {
+            "conv_id": np.full(bins.size, conv, dtype=object),
+            "salt": bins // salt_ms,
+            "bin_ms": bins,
+            "turn_rate": np.asarray(tr, dtype=np.float64),
+            "tool_usage": np.asarray(tu, dtype=np.float64),
+        }
+    )
+    runner = _fit_group_batches(
+        cfg.metrics, cfg.error_bound, cfg.length_bound, cfg.interval_ms
+    )
+    frames = list(runner(iter([pdf])))
+    return pd.concat(frames, ignore_index=True) if frames else None
+
+
+def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False):
     iv = cfg.interval_ms
     salt_ms = cfg.salt_days * 86_400_000
+    fit_closed = _fit_closed_grouped if grouped else _fit_closed
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -94,7 +126,7 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int):
             # idle flush: the open run finalizes (maximum_latency analogue)
             bins, tr, tu = state.get
             state.remove()
-            df = _fit_closed(conv, bins, tr, tu, cfg)
+            df = fit_closed(conv, bins, tr, tu, cfg)
             if df is not None:
                 yield df
             return
@@ -143,7 +175,7 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int):
             if idx.size:
                 closed_upto = int(idx[-1]) + 1
         if closed_upto:
-            df = _fit_closed(
+            df = fit_closed(
                 conv, bins[:closed_upto], tr[:closed_upto], tu[:closed_upto], cfg
             )
             if df is not None:
@@ -176,15 +208,24 @@ def stream_ingest_stateful(
     checkpoint_dir: str | None = None,
     flush_after_ms: int = 60_000,
     max_files_per_trigger: int = 1,
+    grouped: bool = False,
 ):
     """Streaming ingest whose segments span micro-batches: turns group
     by conv_id into `applyInPandasWithState`; the open run rides in
     state until the gap/salt protocol (or the watermark passing the
     run's tail + flush_after_ms) closes it. Finalized segments append
-    to `{out_root}/segments_stream`."""
+    to `{out_root}/segments_stream`.
+
+    `grouped=True` runs the multi-series GROUP cascade on the closed
+    runs (the reference streams groups through the same
+    SegmentGenerator, Spark.scala ingestion path): output rows are
+    GROUP_SEGMENT_SCHEMA, bit-identical to `fit_segments_grouped` over
+    the concatenated input."""
     # the state fn receives naive local-time timestamps: pin UTC so
     # epoch-millis binning matches the batch path on ANY caller session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from modelardb_spark.operators.groupfit import GROUP_SEGMENT_SCHEMA
+
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -194,8 +235,8 @@ def stream_ingest_stateful(
         "conv_id", F.col("ts").cast("timestamp").alias("ts"), "tool"
     ).withWatermark("ts", f"{max(1, flush_after_ms // 1000)} seconds")
     segs = turns.groupBy("conv_id").applyInPandasWithState(
-        _stateful_fit(cfg, flush_after_ms),
-        outputStructType=SEGMENT_SCHEMA,
+        _stateful_fit(cfg, flush_after_ms, grouped),
+        outputStructType=GROUP_SEGMENT_SCHEMA if grouped else SEGMENT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

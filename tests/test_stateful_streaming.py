@@ -108,6 +108,76 @@ def test_segments_span_micro_batches(spark, tmp_path):
     assert spanning, sorted(s[2:4] for s in got)
 
 
+def test_grouped_segments_span_micro_batches(spark, tmp_path):
+    """grouped=True: the stream's GROUP segments (interleaved models,
+    one row covers both metrics) must equal `fit_segments_grouped` over
+    the concatenated input, including runs that straddle the drops."""
+    import glob
+    import time as _time
+
+    from modelardb_spark.operators.groupfit import fit_segments_grouped
+    from modelardb_spark.operators.series import derive_series_wide
+    from modelardb_spark.streaming.stateful import stream_ingest_stateful
+
+    items = []
+    for b in range(20):
+        items.append(("x", b * MIN, "click" if b % 3 == 0 else None))
+        if b % 2 == 0:
+            items.append(("x", b * MIN + 30_000, None))
+    run2 = [("x", (40 + b) * MIN, None) for b in range(5)]
+    sentinel = [("x", 10_000 * MIN, None)]
+    cut = next(i for i, (c, off, t) in enumerate(items) if off > 9 * MIN + 10)
+    drop1, drop2 = items[:cut], items[cut:] + run2 + sentinel
+
+    in_dir = str(tmp_path / "gdrops")
+    os.makedirs(in_dir)
+    _frame(spark, drop1).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+    _frame(spark, drop2).coalesce(1).write.parquet(f"{in_dir}/d2.parquet")
+
+    out_root = str(tmp_path / "gout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1, grouped=True,
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            if glob.glob(f"{out_root}/segments_stream/part-*.parquet"):
+                try:
+                    if spark.read.parquet(
+                        f"{out_root}/segments_stream"
+                    ).count() >= 2:  # >= 2 closed group runs
+                        break
+                except Exception:
+                    pass
+            _time.sleep(2)
+    finally:
+        q.stop()
+
+    def key(r):
+        return (
+            r["conv_id"], r["start_ms"], r["end_ms"], r["mtid"],
+            bytes(r["model"]), tuple(r["tids"]), tuple(r["gaps"]),
+        )
+
+    got_rows = spark.read.parquet(f"{out_root}/segments_stream").collect()
+    got = {key(r) for r in got_rows}
+    assert len(got_rows) == len(got)  # exactly-once emission
+    sentinel_bin = (BASE + 10_000 * MIN) // MIN * MIN
+    full = _frame(spark, drop1 + drop2)
+    want = {
+        key(r)
+        for r in fit_segments_grouped(derive_series_wide(full), EngineConfig())
+        .where(F.col("start_ms") < sentinel_bin)
+        .collect()
+    }
+    assert got == want
+    # group rows genuinely cover both metrics in one model
+    assert any(len(k[5]) == 2 for k in got)
+
+
 def test_event_time_timeout_flushes_idle_run(spark, tmp_path):
     """The watermark passing an idle conversation's tail + allowance
     must flush its open run via the timeout branch — and only then."""
