@@ -177,14 +177,23 @@ def main() -> None:
                 all_runs[cores].append(
                     json.loads(out.stdout.strip().splitlines()[-1])
                 )
+        import statistics
+
         best = {c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in all_runs.items()}
+        med = {
+            c: statistics.median(r["turns_per_sec"] for r in rs)
+            for c, rs in all_runs.items()
+        }
         eff = (
             best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]
         ) / (int(hi) / int(lo))
+        eff_med = (med[hi] / med[lo]) / (int(hi) / int(lo))
         print(json.dumps({
             "metric": f"scaling efficiency local[{lo}] -> local[{hi}] (N -> 4N stand-in)",
             "value": round(eff, 3),
             "unit": "efficiency",
+            "efficiency_medians": round(eff_med, 3),
+            "median_tps": med,
             "best": best,
             "all_runs": all_runs,
         }))

@@ -50,11 +50,14 @@ def ingest(
     chunk_days: int = 64,
     fail_after_chunks: int | None = None,
     grouped: bool = False,
+    dynamic_split_fraction: float | None = None,
 ) -> dict:
     """Run the pipeline; returns metrics. `fail_after_chunks` injects a
     crash after N chunks (resume tests only). `grouped=True` compresses
     each conversation's metrics as ONE group (groupfit.py; ~1.9x fewer
-    stored bytes, identical rollups at bound 0)."""
+    stored bytes, identical rollups at bound 0);
+    `dynamic_split_fraction` additionally enables the reference's
+    ratio-feedback dynamic split/join inside the group fit."""
     # The resume unit (UTC day) is only self-contained because segments
     # and rollup windows never span a day when the fit salt is one day;
     # a different salt_days would make per-day overwrite-on-resume drop
@@ -103,7 +106,11 @@ def ingest(
             from modelardb_spark.operators.groupfit import fit_segments_grouped
 
             segments = with_part_key(
-                fit_segments_grouped(derive_series_wide(part, cfg), cfg),
+                fit_segments_grouped(
+                    derive_series_wide(part, cfg),
+                    cfg,
+                    dynamic_split_fraction=dynamic_split_fraction,
+                ),
                 cfg.conv_buckets,
             )
         else:
@@ -212,6 +219,9 @@ def main() -> None:
     ap.add_argument("--snapshot-id", default="snap-0")
     ap.add_argument("--grouped", action="store_true",
                     help="compress each conversation's metrics as one group")
+    ap.add_argument("--dynamic-split-fraction", type=float, default=None,
+                    help="with --grouped: ratio-feedback dynamic split/join "
+                         "threshold (reference default 0.10)")
     args = ap.parse_args()
 
     from modelardb_spark.operators.transcripts import transcripts_from_events
@@ -222,7 +232,8 @@ def main() -> None:
     transcripts = transcripts_from_events(spark, sf_dir)
     cfg = EngineConfig(error_bound=args.error_bound)
     print(ingest(spark, transcripts, args.out, cfg,
-                 snapshot_id=args.snapshot_id, grouped=args.grouped))
+                 snapshot_id=args.snapshot_id, grouped=args.grouped,
+                 dynamic_split_fraction=args.dynamic_split_fraction))
     spark.stop()
 
 
