@@ -79,10 +79,13 @@ def test_group_fit_roundtrip_property(rows, gaps_between):
     """Arbitrary 2-member group runs with arbitrary per-member gaps
     (None values) and arbitrary time gaps: fitting as a group and
     decoding every member via the stride must reproduce exactly the
-    non-NaN inputs — point for point, member for member."""
+    non-NaN inputs — point for point, member for member. Runs the
+    STATIC cascade and the ratio-feedback DYNAMIC split/join: at bound
+    0 both must cover every point exactly once with exact values."""
     import pandas as pd
 
     from modelardb_spark.operators.groupfit import (
+        DYNAMIC_SPLIT_FRACTION,
         _fit_group_batches,
         decode_group_values,
     )
@@ -103,13 +106,84 @@ def test_group_fit_roundtrip_property(rows, gaps_between):
             "m1": [r[1] for r in rows],
         }
     )
-    run = _fit_group_batches(("m0", "m1"), 0.0, 50, INTERVAL)
+    _roundtrip_group_paths(pdf, bins)
+
+
+def _roundtrip_group_paths(pdf, bins):
+    import pandas as pd
+
+    from modelardb_spark.operators.groupfit import (
+        DYNAMIC_SPLIT_FRACTION,
+        _fit_group_batches,
+        decode_group_values,
+    )
+
+    for split_fraction in (None, DYNAMIC_SPLIT_FRACTION):
+        run = _fit_group_batches(("m0", "m1"), 0.0, 50, INTERVAL, split_fraction)
+        frames = list(run(iter([pdf])))
+        segs = pd.concat(frames, ignore_index=True) if frames else None
+        out = {0: {}, 1: {}}
+        if segs is not None and len(segs):
+            for row in segs.itertuples(index=False):
+                n_ts = int((row.end_ms - row.start_ms) // INTERVAL) + 1
+                for goff, tid in enumerate(row.tids):
+                    vals = decode_group_values(
+                        row.mtid, row.model, n_ts, row.group_size, goff,
+                        row.start_ms, INTERVAL,
+                    )
+                    for j in range(n_ts):
+                        b = row.start_ms + j * INTERVAL
+                        assert b not in out[tid], "duplicate coverage"
+                        out[tid][b] = float(vals[j])
+        for tid, col in ((0, "m0"), (1, "m1")):
+            want = {
+                int(b): float(np.float32(v))
+                for b, v in zip(pdf["bin_ms"], pdf[col])
+                if v is not None and not (isinstance(v, float) and np.isnan(v))
+            }
+            assert out[tid] == want, f"split_fraction={split_fraction}"
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), finite_f32),
+            st.one_of(st.none(), finite_f32),
+            st.one_of(st.none(), finite_f32),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dim_group_fit_roundtrip_property(rows):
+    """Arbitrary sparse 3-member dimension groups through the
+    variable-width kernel (sorted sparse rows -> reshape interleave ->
+    shared cascade): every present value must decode back exactly at
+    bound 0, each exactly once, with absent members in `gaps`."""
+    import pandas as pd
+
+    from modelardb_spark.operators.dimgroup import _fit_dim_group_batches
+    from modelardb_spark.operators.groupfit import decode_group_values
+
+    recs = []
+    for i, vals in enumerate(rows):
+        for m, v in enumerate(vals):
+            if v is not None:
+                recs.append(("g", 0, i * INTERVAL, m, float(np.float32(v)), 3))
+    if not recs:
+        return
+    pdf = pd.DataFrame(
+        recs, columns=["gkey", "salt", "bin_ms", "midx", "value", "gsize"]
+    )
+    run = _fit_dim_group_batches(0.0, 50, INTERVAL)
     frames = list(run(iter([pdf])))
     segs = pd.concat(frames, ignore_index=True) if frames else None
-    out = {0: {}, 1: {}}
+    out = {0: {}, 1: {}, 2: {}}
     if segs is not None and len(segs):
         for row in segs.itertuples(index=False):
             n_ts = int((row.end_ms - row.start_ms) // INTERVAL) + 1
+            assert sorted(list(row.tids) + list(row.gaps)) == [0, 1, 2]
             for goff, tid in enumerate(row.tids):
                 vals = decode_group_values(
                     row.mtid, row.model, n_ts, row.group_size, goff,
@@ -119,10 +193,7 @@ def test_group_fit_roundtrip_property(rows, gaps_between):
                     b = row.start_ms + j * INTERVAL
                     assert b not in out[tid], "duplicate coverage"
                     out[tid][b] = float(vals[j])
-    for tid, col in ((0, "m0"), (1, "m1")):
-        want = {
-            int(b): float(np.float32(v))
-            for b, v in zip(pdf["bin_ms"], pdf[col])
-            if v is not None and not (isinstance(v, float) and np.isnan(v))
-        }
-        assert out[tid] == want
+    want = {0: {}, 1: {}, 2: {}}
+    for (_, _, b, m, v, _) in recs:
+        want[m][b] = float(np.float32(v))
+    assert out == want
