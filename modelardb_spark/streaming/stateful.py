@@ -48,11 +48,21 @@ from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
 from modelardb_spark.operators.fit import SEGMENT_SCHEMA, _fit_sorted_block, _flush
 from modelardb_spark.sources.readers import TRANSCRIPT_SCHEMA
 
-#: open-run state per conversation: parallel arrays of the bins not
-#: yet finalized (one value per metric column)
+#: open-run state per conversation: the unfinalized bins ride as a
+#: DELTA-OF-DELTA compressed bitstream (models/deltadelta.py — ~1 bit
+#: per timestamp on the regular grid instead of 64, shrinking every
+#: state checkpoint and Arrow state exchange), plus one value array per
+#: metric column
 _STATE_SCHEMA = (
-    "bins array<long>, turn_rate array<double>, tool_usage array<double>"
+    "bins binary, n_bins int, "
+    "turn_rate array<double>, tool_usage array<double>"
 )
+
+
+def _state_bins(blob, n_bins: int) -> np.ndarray:
+    from modelardb_spark.models.deltadelta import dod_decompress
+
+    return dod_decompress(bytes(blob), int(n_bins))
 
 
 def _fit_closed(conv: str, bins, tr, tu, cfg: EngineConfig) -> pd.DataFrame | None:
@@ -124,9 +134,9 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
         conv = key[0]
         if state.hasTimedOut:
             # idle flush: the open run finalizes (maximum_latency analogue)
-            bins, tr, tu = state.get
+            blob, n_bins, tr, tu = state.get
             state.remove()
-            df = fit_closed(conv, bins, tr, tu, cfg)
+            df = fit_closed(conv, _state_bins(blob, n_bins), tr, tu, cfg)
             if df is not None:
                 yield df
             return
@@ -149,8 +159,8 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
         ntu = np.add.reduceat(tool.astype(np.float64), edges)
 
         if state.exists:
-            ob, otr, otu = state.get
-            ob = np.asarray(ob, dtype=np.int64)
+            oblob, o_n, otr, otu = state.get
+            ob = _state_bins(oblob, o_n)
             otr = np.asarray(otr, dtype=np.float64)
             otu = np.asarray(otu, dtype=np.float64)
             if ob.size and nb.size and nb[0] == ob[-1]:
@@ -180,9 +190,13 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
             )
             if df is not None:
                 yield df
+        from modelardb_spark.models.deltadelta import dod_compress
+
+        open_bins = np.asarray(bins[closed_upto:], dtype=np.int64)
         state.update(
             (
-                bins[closed_upto:].tolist(),
+                dod_compress(open_bins),
+                int(open_bins.size),
                 tr[closed_upto:].tolist(),
                 tu[closed_upto:].tolist(),
             )

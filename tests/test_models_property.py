@@ -64,6 +64,31 @@ def test_gorilla_lossless(values):
     np.testing.assert_array_equal(v.view(np.uint32), out.view(np.uint32))
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52), min_size=0, max_size=100
+    )
+)
+def test_delta_of_delta_lossless(ts):
+    """Any int64-ms sequence (monotone or not) round-trips through the
+    delta-of-delta timestamp codec bit-exactly."""
+    from modelardb_spark.models.deltadelta import dod_compress, dod_decompress
+
+    a = np.array(ts, dtype=np.int64)
+    np.testing.assert_array_equal(dod_decompress(dod_compress(a), a.size), a)
+
+
+def test_delta_of_delta_regular_grid_is_one_bit_per_point():
+    from modelardb_spark.models.deltadelta import dod_compress, dod_decompress
+
+    bins = 1_704_067_200_000 + 60_000 * np.arange(1440, dtype=np.int64)
+    blob = dod_compress(bins)
+    # 64b first ts + 37b first delta + 1 bit per remaining point
+    assert len(blob) <= 8 + 5 + 1440 // 8 + 2, len(blob)
+    np.testing.assert_array_equal(dod_decompress(blob, bins.size), bins)
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(
