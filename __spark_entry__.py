@@ -764,6 +764,24 @@ def _q_sql_surface_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_data_points_restricted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ViewDataPoint timestamp-predicate rewrite as a
+    registered SQL TABLE function (ViewDataPoint.scala:47-78): the
+    point-time window prunes SEGMENTS before any reconstruction, grid
+    indexes are clamped to the window, and dense models decode with
+    original-stream offsets. At bound 0 the result must equal the raw
+    series filtered to the window."""
+    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+    from modelardb_spark.operators.views import register_views
+
+    register_views(spark, _segments(spark, sf_dir))
+    register_sql_functions(spark)
+    return spark.sql(
+        f"SELECT conv_id, metric, bin_ms, value"
+        f" FROM DATA_POINTS({_SQL_LO}, {_SQL_HI})"
+    )
+
+
 def _q_dim_filtered_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-routed rollup (the reference's Dimensions +
     ViewSegment dim->gid rewrite): the channel predicate prunes
@@ -1102,6 +1120,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dim_filtered_rollup": _q_dim_filtered_rollup,
         "sql_surface_agg": _q_sql_surface_agg,
         "sql_surface_restrict": _q_sql_surface_restrict,
+        "data_points_restricted": _q_data_points_restricted,
         # multi-series group compression
         "group_rollup_1h": _q_group_rollup_1h,
         "group_data_points": _q_group_data_points,
@@ -1219,6 +1238,14 @@ GROUP BY s.conv_id, s.metric, 3, d.channel
         ),
         "data_points_grid": (
             "WITH " + _SQL_SERIES + "SELECT conv_id, metric, bin_ms, value FROM series"
+        ),
+        "data_points_restricted": (
+            "WITH "
+            + _SQL_SERIES
+            + f"""
+SELECT conv_id, metric, bin_ms, value FROM series
+WHERE bin_ms >= {_SQL_LO} AND bin_ms <= {_SQL_HI}
+"""
         ),
         "segment_aggregates": (
             "WITH "

@@ -117,6 +117,87 @@ def segment_sql(spark: SparkSession, sql: str):
     return spark.sql(expand_segment_sugar(sql))
 
 
+def _make_decode_udf():
+    """Pandas UDF: one segment row -> its full decoded float32 value
+    array (dense mtids decode in one lockstep matrix per Arrow batch;
+    analytic mtids take closed forms — callers normally route those
+    through pure-SQL CASE arms instead)."""
+    import numpy as np
+
+    from modelardb_spark.models import MTID_GORILLA, MTID_PMC, MTID_RAW, MTID_SWING
+    from modelardb_spark.models.segment import decode_dense_matrix
+    from modelardb_spark.models.swing import swing_decode
+
+    @pandas_udf("array<float>")
+    def decode_segment(mtid: pd.Series, model: pd.Series, start: pd.Series,
+                       end: pd.Series, si: pd.Series) -> pd.Series:
+        mt = mtid.to_numpy()
+        s = start.to_numpy().astype(np.int64)
+        e = end.to_numpy().astype(np.int64)
+        iv = si.to_numpy().astype(np.int64)
+        n = (e - s) // iv + 1
+        models = [bytes(m) for m in model]
+        out: list = [None] * len(models)
+        dense = np.flatnonzero(np.isin(mt, (MTID_GORILLA, MTID_RAW)))
+        if dense.size:
+            mat = decode_dense_matrix(
+                mt[dense], [models[i] for i in dense], n[dense]
+            )
+            for j, i in enumerate(dense):
+                out[i] = mat[j, : n[i]]
+        for i in np.flatnonzero(mt == MTID_PMC):
+            from modelardb_spark.models.pmc_mean import pmc_value
+
+            out[i] = np.full(n[i], pmc_value(models[i]), dtype=np.float32)
+        for i in np.flatnonzero(mt == MTID_SWING):
+            a, b = swing_decode(models[i])
+            t = s[i] + iv[i] * np.arange(n[i], dtype=np.float64)
+            out[i] = (a * t + b).astype(np.float32)
+        return pd.Series(out)
+
+    return decode_segment
+
+
+def register_point_function(spark: SparkSession, segment_view: str = "segments") -> None:
+    """Register `DATA_POINTS(lo, hi)` — the reference's ViewDataPoint
+    timestamp-predicate rewrite (ViewDataPoint.scala:47-78) as a SQL
+    TABLE function: the point-time window becomes a segment-overlap
+    predicate evaluated BEFORE any reconstruction (Catalyst pushes it
+    into the segment scan), the grid indexes are clamped to the window
+    (Segment.java:73-95 outward rounding -> only in-window points are
+    ever generated), and dense segments decode through the vectorized
+    DECODE_SEGMENT pandas UDF with the ORIGINAL segment start so the
+    stream offsets stay correct (the reference's temporal-offset
+    discipline). PMC/Swing rows never leave SQL."""
+    spark.udf.register("DECODE_SEGMENT", _make_decode_udf())
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION DATA_POINTS(lo BIGINT, hi BIGINT)
+        RETURNS TABLE (conv_id STRING, metric STRING, bin_ms BIGINT, value FLOAT)
+        RETURN
+        SELECT conv_id, metric,
+               start_ms + i * interval_ms AS bin_ms,
+               CASE WHEN mtid = 2 THEN CAST(p0 AS FLOAT)
+                    WHEN mtid = 3 THEN CAST(p0 * (start_ms + i * interval_ms) + p1 AS FLOAT)
+                    ELSE vals[CAST(i AS INT)] END AS value
+        FROM (
+          SELECT *,
+                 CASE WHEN mtid IN (1, 4)
+                      THEN DECODE_SEGMENT(mtid, model, start_ms, end_ms, interval_ms)
+                 END AS vals,
+                 GREATEST(0L, CAST(ceil((lo - start_ms) / CAST(interval_ms AS DOUBLE)) AS BIGINT)) AS i_lo,
+                 LEAST((end_ms - start_ms) DIV interval_ms,
+                       CAST(floor((hi - start_ms) / CAST(interval_ms AS DOUBLE)) AS BIGINT)) AS i_hi
+          FROM {segment_view}
+          WHERE end_ms >= lo AND start_ms <= hi
+        ) LATERAL VIEW explode(
+            CASE WHEN i_lo <= i_hi THEN sequence(i_lo, i_hi)
+                 ELSE CAST(array() AS ARRAY<BIGINT>) END
+          ) t AS i
+        """
+    )
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Idempotently register the aggregate + restriction functions on
     the session. After this, reference-style SQL runs verbatim:
@@ -127,6 +208,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         SELECT START_END(start_ms, end_ms, interval_ms, :lo, :hi).s
         FROM segments WHERE end_ms >= :lo AND start_ms <= :hi
     """
+    register_point_function(spark)
     count_s, min_s, max_s, sum_s, avg_s = _make_udafs()
     spark.udf.register("COUNT_S", count_s)
     spark.udf.register("MIN_S", min_s)

@@ -104,6 +104,32 @@ def test_fused_fit_is_single_exchange(spark, sf_small):
     assert "props" not in scan, scan
 
 
+def test_data_points_tvf_pushes_window_to_scan(spark, sf_small, tmp_path):
+    """The DATA_POINTS(lo, hi) table function (ViewDataPoint rewrite)
+    must push the segment-overlap bounds into the parquet scan — the
+    window never decodes out-of-range segments — and must agree with
+    the DataFrame-API restrict+grid path."""
+    from modelardb_spark.operators.grid import grid, restrict
+    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+
+    lo, hi = 1_704_672_000_000, 1_705_276_799_999
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "segtvf")
+    seg.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("segments")
+    register_sql_functions(spark)
+    df = spark.sql(f"SELECT * FROM DATA_POINTS({lo}, {hi})")
+    plan = _plan(df)
+    pushed = plan[plan.index("PushedFilters"):][:300]
+    assert "end_ms" in pushed and "start_ms" in pushed, pushed
+    api = grid(restrict(spark.read.parquet(p), lo, hi)).where(
+        (F.col("bin_ms") >= lo) & (F.col("bin_ms") <= hi)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, api.collect()))
+
+
 def test_rollup_is_single_hash_agg_pair(spark, sf_small, tmp_path):
     """From a STORED segments table, the 1h rollup plan is scan ->
     map-side partials -> ONE exchange -> final hash aggregate; no
