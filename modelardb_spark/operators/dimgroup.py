@@ -195,12 +195,19 @@ def fit_segments_dim_grouped(
     )
 
 
-def explode_dim_group_segments(gseg: DataFrame, members: DataFrame) -> DataFrame:
+def explode_dim_group_segments(
+    gseg: DataFrame, members: DataFrame, broadcast_registry: bool = True
+) -> DataFrame:
     """Group segment -> one logical segment per present member, mapped
     back to its real (conv_id, metric) through the registry
     (SegmentGroup.explode:51-111 with the reference's gid -> tid
     mapping). `ukey` keeps the group key so the decoder still collapses
-    one payload per group row."""
+    one payload per group row.
+
+    The registry is O(#series) metadata; broadcast it (default) while
+    it fits executor memory (~tens of millions of series). Beyond
+    that, pass False — the join then shuffles on (gkey, tid), a key
+    the exploded side is already clustered by."""
     e = gseg.select(
         F.col("conv_id").alias("gkey"),
         "start_ms",
@@ -220,8 +227,10 @@ def explode_dim_group_segments(gseg: DataFrame, members: DataFrame) -> DataFrame
     reg = members.select(
         "gkey", F.col("midx").alias("tid"), "conv_id", "metric"
     )
+    if broadcast_registry:
+        reg = F.broadcast(reg)
     return (
-        e.join(F.broadcast(reg), ["gkey", "tid"])
+        e.join(reg, ["gkey", "tid"])
         .select(
             "conv_id",
             "metric",
@@ -244,10 +253,13 @@ def explode_dim_group_segments(gseg: DataFrame, members: DataFrame) -> DataFrame
 
 
 def rollup_from_dim_group_segments(
-    gseg: DataFrame, members: DataFrame, window_ms: int
+    gseg: DataFrame,
+    members: DataFrame,
+    window_ms: int,
+    broadcast_registry: bool = True,
 ) -> DataFrame:
     """Windowed rollup straight from dimension-group segments — the
     shared analytic/dense tail over the registry-mapped explode."""
     return _rollup_from_exploded(
-        explode_dim_group_segments(gseg, members), window_ms
+        explode_dim_group_segments(gseg, members, broadcast_registry), window_ms
     )

@@ -86,6 +86,9 @@ def test_fused_fit_is_single_exchange(spark, sf_small):
     path pays a derive aggregation exchange on top."""
     from modelardb_spark.operators.fit import fit_segments_from_transcripts
 
+    # cached frames from other modules would splice InMemoryRelations
+    # into these plans and change the exchange counts
+    spark.catalog.clearCache()
     fused = _plan(
         fit_segments_from_transcripts(
             transcripts_from_events(spark, sf_small), EngineConfig()
