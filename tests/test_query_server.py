@@ -65,6 +65,22 @@ def test_socket_interface_round_trip(spark, sf_small):
         srv.server_close()
 
 
+def test_file_mode_statements(spark, sf_small, capsys):
+    """The file/one-shot mode splits on ';' and prints one JSON line
+    per row (the reference's query-file interface)."""
+    from modelardb_spark.jobs.query_server import run_statements
+
+    prepare_session(spark, events=f"{sf_small}/events.parquet")
+    run_statements(
+        spark,
+        "SELECT 1 AS a; SELECT COUNT_S(#) AS cnt FROM segments;",
+        limit=10,
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert json.loads(lines[0])["a"] == 1
+    assert json.loads(lines[1])["cnt"] > 0
+
+
 def test_http_interface_round_trip(spark, sf_small):
     import urllib.parse
     import urllib.request
