@@ -14,12 +14,16 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 2): 41 queries — 38 with exact DuckDB oracles, 3
+Coverage (round 3): 45 queries — 42 with exact DuckDB oracles, 3
 rows-only (rollup_1h_lossy: lossy results are engine-defined, but its
 bound is hard-checked by the oracled lossy_bound_violations empty-set
 query; compression_stats / group_compression_stats: no segments table
 exists on the oracle side — the group-vs-per-series win is asserted in
-tests/test_groupfit.py).
+tests/test_groupfit.py). Round-3 additions: tiered_rollup (retention
+tiers), ratio_routed_rollup_1h (reference dynamic split/join),
+dim_group_rollup_1h (dimension-driven cross-entity groups), and
+data_points_restricted (ViewDataPoint rewrite as a SQL table
+function).
 """
 
 from __future__ import annotations
