@@ -36,10 +36,14 @@ def _spark(cores: str):
     # shuffle partitions == task slots measures best here: each fit
     # task gets one maximal Arrow batch stream instead of 2x smaller
     # ones (measured 343k vs 269k turns/sec at local[32])
+    # Console progress bars interleave \r-terminated fragments with
+    # real stdout lines; a driver capturing the process tail can clip
+    # the result JSON mid-line (this lost BENCH_r03's headline). Off.
     s = get_spark(
         master=f"local[{cores}]",
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", cores)),
         app_name=f"bench-{cores}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -208,7 +212,7 @@ def main() -> None:
     dt = min(dt1, dt2)
     queries, queries_best, rounds = sf_queries(spark)
     spark.stop()
-    print(json.dumps({
+    result = json.dumps({
         "metric": "turns/sec ingested-to-rolled-up (synthetic transcripts, full pipeline)",
         "value": round(dt + sum(queries.values()), 2),
         "unit": "sec",
@@ -222,7 +226,17 @@ def main() -> None:
         "best_of": 2,
         "turns_per_sec": round(turns / dt),
         "turns_per_sec_runs": [round(turns / dt1), round(turns / dt2)],
-    }))
+    })
+    # Durable copy first (the authoritative record even if stdout is
+    # clipped), then the JSON as the sole final stdout line.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as f:
+            f.write(result + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

@@ -171,6 +171,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--file", help="query file, ;-separated statements")
     ap.add_argument("--socket-port", type=int, help="serve a TCP line protocol")
     ap.add_argument("--http-port", type=int, help="serve HTTP (POST SQL / GET ?q=)")
+    ap.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address for --socket-port/--http-port; the server "
+        "executes arbitrary Spark SQL unauthenticated, so it binds "
+        "loopback unless you deliberately expose it (e.g. 0.0.0.0)",
+    )
     ap.add_argument("--limit", type=int, default=1000, help="max rows per result")
     args = ap.parse_args(argv)
 
@@ -185,11 +192,11 @@ def main(argv: list[str] | None = None) -> None:
         with open(args.file) as f:
             run_statements(spark, f.read(), args.limit)
     elif args.socket_port is not None:
-        srv = make_socket_server(spark, "0.0.0.0", args.socket_port, args.limit)
+        srv = make_socket_server(spark, args.host, args.socket_port, args.limit)
         print(f"-- serving on {srv.server_address[0]}:{srv.server_address[1]}")
         srv.serve_forever()
     elif args.http_port is not None:
-        srv = make_http_server(spark, "0.0.0.0", args.http_port, args.limit)
+        srv = make_http_server(spark, args.host, args.http_port, args.limit)
         print(f"-- http on {srv.server_address[0]}:{srv.server_address[1]}")
         srv.serve_forever()
     else:  # REPL

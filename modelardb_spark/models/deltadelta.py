@@ -37,8 +37,10 @@ _TAG_BITS = (2, 3, 4, 5)
 
 def dod_compress(timestamps: np.ndarray) -> bytes:
     """Compress an int64 timestamp array; any sequence round-trips
-    (monotonicity is not required). Vectorized prep + one big-int
-    accumulation, like `gorilla_compress`."""
+    (monotonicity is not required). Deltas/dods are computed mod 2^64
+    (np.diff wraps) and the decompressor accumulates mod 2^64 too, so
+    even consecutive values 2^63 apart reconstruct exactly. Vectorized
+    prep + one big-int accumulation, like `gorilla_compress`."""
     ts = np.ascontiguousarray(timestamps, dtype=np.int64)
     n = ts.size
     if n == 0:
@@ -86,10 +88,12 @@ def dod_decompress(model: bytes, length: int) -> np.ndarray:
         acc &= (1 << nbits) - 1
         return v
 
+    # accumulate mod 2^64 (matching np.diff's wrapping on the compress
+    # side) and reduce to signed 64-bit at write time: round-trips any
+    # int64 sequence, even deltas/dods outside the int64 range
+    mask = (1 << 64) - 1
     t = take(64)
-    if t >= 1 << 63:
-        t -= 1 << 64  # two's complement
-    out[0] = t
+    out[0] = t - (1 << 64) if t >= 1 << 63 else t
     delta = 0
     for i in range(1, length):
         if take(1) == 0:
@@ -101,9 +105,7 @@ def dod_decompress(model: bytes, length: int) -> np.ndarray:
                     break
             else:
                 d = take(64)
-                if d >= 1 << 63:
-                    d -= 1 << 64
-        delta += d
-        t += delta
-        out[i] = t
+        delta = (delta + d) & mask
+        t = (t + delta) & mask
+        out[i] = t - (1 << 64) if t >= 1 << 63 else t
     return out

@@ -447,6 +447,10 @@ def _fit_group_run_dynamic(
             if len(_split_subsets(probe, all_idx, error_bound)) == 1:
                 break  # rejoin: values mutually within the bound again
             backoff *= 2
+        # per-episode back-off (SegmentGenerator.java:403-455 restarts
+        # the probe interval after every successful rejoin): a later
+        # split in the same run starts from the base interval again
+        backoff = _REJOIN_BACKOFF_TS
 
 
 def _fit_group_batches(

@@ -198,7 +198,9 @@ def register_point_function(spark: SparkSession, segment_view: str = "segments")
     )
 
 
-def register_sql_functions(spark: SparkSession) -> None:
+def register_sql_functions(
+    spark: SparkSession, segment_view: str = "segments"
+) -> None:
     """Idempotently register the aggregate + restriction functions on
     the session. After this, reference-style SQL runs verbatim:
 
@@ -207,8 +209,15 @@ def register_sql_functions(spark: SparkSession) -> None:
 
         SELECT START_END(start_ms, end_ms, interval_ms, :lo, :hi).s
         FROM segments WHERE end_ms >= :lo AND start_ms <= :hi
+
+    ORDERING: the DATA_POINTS table function's body references
+    `segment_view` (default `segments`), so that view must be
+    registered on this session FIRST — call
+    `operators.views.register_views(spark, seg)` (or pass the name of
+    an already-registered view) before this function, or DATA_POINTS
+    can fail to analyze / bind to a stale view.
     """
-    register_point_function(spark)
+    register_point_function(spark, segment_view)
     count_s, min_s, max_s, sum_s, avg_s = _make_udafs()
     spark.udf.register("COUNT_S", count_s)
     spark.udf.register("MIN_S", min_s)

@@ -67,16 +67,32 @@ def test_gorilla_lossless(values):
 @settings(max_examples=80, deadline=None)
 @given(
     st.lists(
-        st.integers(min_value=-(2**52), max_value=2**52), min_size=0, max_size=100
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=100,
     )
 )
 def test_delta_of_delta_lossless(ts):
-    """Any int64-ms sequence (monotone or not) round-trips through the
-    delta-of-delta timestamp codec bit-exactly."""
+    """Any int64 sequence (monotone or not, full int64 range) round-
+    trips through the delta-of-delta timestamp codec bit-exactly: both
+    sides work mod 2^64, so deltas/dods outside int64 still wrap
+    consistently."""
     from modelardb_spark.models.deltadelta import dod_compress, dod_decompress
 
     a = np.array(ts, dtype=np.int64)
     np.testing.assert_array_equal(dod_decompress(dod_compress(a), a.size), a)
+
+
+def test_delta_of_delta_extreme_delta_wraps_exactly():
+    """Consecutive deltas past the int64 range (the ADVICE-round repro
+    [0, 2^62, -2^62]) round-trip: the codec's mod-2^64 contract."""
+    from modelardb_spark.models.deltadelta import dod_compress, dod_decompress
+
+    for case in ([0, 2**62, -(2**62)], [-(2**63), 2**63 - 1, 0, -(2**63)]):
+        a = np.array(case, dtype=np.int64)
+        np.testing.assert_array_equal(
+            dod_decompress(dod_compress(a), a.size), a
+        )
 
 
 def test_delta_of_delta_regular_grid_is_one_bit_per_point():
