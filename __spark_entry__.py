@@ -772,13 +772,20 @@ _SQL_LO, _SQL_HI = 1_704_672_000_000, 1_705_276_740_000
 def _q_sql_surface_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-style SQL runs VERBATIM: the *_S aggregate functions
     (SparkUDAF.scala:346-352) registered on the session, computing from
-    the model column over the `segments` view."""
-    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+    the model column over the `segments` view. Routed through
+    segment_sql, which decomposes the aggregates partial/final (map-
+    side SEG_AGG partials, built-in merge) like the reference's
+    Aggregators — only (key, partial) rows cross the shuffle."""
+    from modelardb_spark.operators.sqlfunctions import (
+        register_sql_functions,
+        segment_sql,
+    )
     from modelardb_spark.operators.views import register_views
 
     register_views(spark, _segments(spark, sf_dir))
     register_sql_functions(spark)
-    return spark.sql(
+    return segment_sql(
+        spark,
         """
         SELECT conv_id, metric,
                COUNT_S(start_ms, end_ms, interval_ms) AS cnt,
@@ -788,7 +795,7 @@ def _q_sql_surface_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AVG_S(mtid, model, start_ms, end_ms, interval_ms) AS mean
         FROM segments
         GROUP BY conv_id, metric
-        """
+        """,
     )
 
 
@@ -796,13 +803,19 @@ def _q_sql_surface_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """START_END restriction + COUNT_S as verbatim SQL
     (SparkUDAF.scala:396-426, Segment.java:73-95): segment bounds are
     tightened to the window by a registered pure-SQL function, then
-    COUNT_S counts grid points in the restricted bounds."""
-    from modelardb_spark.operators.sqlfunctions import register_sql_functions
+    COUNT_S counts grid points in the restricted bounds. Routed through
+    segment_sql: COUNT_S decomposes to pure-SQL SUM arithmetic — the
+    whole query stays inside whole-stage codegen, zero Python."""
+    from modelardb_spark.operators.sqlfunctions import (
+        register_sql_functions,
+        segment_sql,
+    )
     from modelardb_spark.operators.views import register_views
 
     register_views(spark, _segments(spark, sf_dir))
     register_sql_functions(spark)
-    return spark.sql(
+    return segment_sql(
+        spark,
         f"""
         SELECT conv_id, metric, COUNT_S(se.s, se.e, interval_ms) AS cnt
         FROM (
@@ -813,7 +826,7 @@ def _q_sql_surface_restrict(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE end_ms >= {_SQL_LO} AND start_ms <= {_SQL_HI}
         )
         GROUP BY conv_id, metric
-        """
+        """,
     )
 
 

@@ -5,12 +5,23 @@ reference-style SQL over the `segments` view runs verbatim
 
 Execution shape:
 
-- the *_S aggregates are Arrow-batched pandas grouped-agg UDFs over the
-  segment-view columns; like the reference Aggregators they compute
-  from the MODEL (closed form for PMC/Swing, decode for Gorilla/raw),
-  not from pre-materialized statistics, so they work on any segment
-  frame regardless of which extra columns were kept. Catalyst supplies
-  the partial/final merge.
+- the *_S aggregates compute from the MODEL (closed form for
+  PMC/Swing, decode for Gorilla/raw), not from pre-materialized
+  statistics, so they work on any segment frame regardless of which
+  extra columns were kept. Two execution paths:
+  (a) `segment_sql` (the engine's SQL entry point — query server,
+      driver surface) REWRITES each *_S call into a built-in aggregate
+      over a per-segment scalar partial — COUNT_S becomes pure-SQL
+      arithmetic, MIN_S/MAX_S/SUM_S/AVG_S become MIN/MAX/SUM over the
+      Arrow-batched SEG_AGG scalar UDF — so Catalyst plans a true
+      partial/final decomposition (map-side partial below the
+      exchange, like the reference's Aggregators,
+      SparkUDAF.scala:37-51): only (key, partial) rows shuffle, never
+      the segment/model rows of a group.
+  (b) the registered names also work in raw `spark.sql` as Arrow-
+      batched pandas grouped-agg UDFs (complete-mode: Spark ships each
+      group to one task) — kept for direct-session compatibility;
+      bounded by segment counts, but prefer `segment_sql`.
 - START / END / START_END are pure SQL scalar functions (CREATE
   TEMPORARY FUNCTION ... RETURN <expr>): they stay inside whole-stage
   codegen, no Python. The rounding arithmetic is cloned from
@@ -86,6 +97,93 @@ def _make_udafs():
     return count_s, min_s, max_s, sum_s, avg_s
 
 
+def _make_seg_agg_udf():
+    """Scalar (per-row) pandas UDF: one segment row -> its closed-form
+    (cnt, vmin, vmax, vsum) partial. This is the map-side half of the
+    decomposed *_S aggregates: built-in MIN/MAX/SUM merge the partials
+    across segments, so Catalyst plans partial/final around the
+    exchange exactly as for native aggregates."""
+
+    @pandas_udf("cnt bigint, vmin double, vmax double, vsum double")
+    def seg_agg(mtid: pd.Series, model: pd.Series, start: pd.Series,
+                end: pd.Series, si: pd.Series) -> pd.DataFrame:
+        counts, mins, maxs, sums = _seg_agg_arrays(mtid, model, start, end, si)
+        return pd.DataFrame(
+            {"cnt": counts, "vmin": mins, "vmax": maxs, "vsum": sums}
+        )
+
+    return seg_agg
+
+
+def _split_top_args(argstr: str) -> list[str]:
+    """Split a SQL argument list at top-level commas (nested calls like
+    START_END(...).s keep their internal commas)."""
+    args, depth, cur = [], 0, []
+    for ch in argstr:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        args.append("".join(cur).strip())
+    return args
+
+
+def decompose_segment_aggregates(sql: str) -> str:
+    """Rewrite *_S aggregate calls into decomposable built-in
+    aggregates over per-segment scalar partials (the reference plans
+    its Aggregators partial/final, SparkUDAF.scala:37-51; this is the
+    SQL-rewrite equivalent for the registered surface):
+
+        COUNT_S(s, e, i)    -> SUM((e - s) DIV i + 1)       (pure SQL)
+        MIN_S(args)         -> MIN(SEG_AGG(args).vmin)
+        MAX_S(args)         -> MAX(SEG_AGG(args).vmax)
+        SUM_S(args)         -> SUM(SEG_AGG(args).vsum)
+        AVG_S(args)         -> SUM(.vsum) / SUM(.cnt)
+
+    Only map-side partials cross the shuffle; a mega-series' segment
+    rows never collapse onto one task (the complete-mode grouped-agg
+    fallback would ship them all to one)."""
+    import re
+
+    out = []
+    pos = 0
+    pat = re.compile(r"\b(COUNT_S|MIN_S|MAX_S|SUM_S|AVG_S)\s*\(")
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        # scan the balanced argument list
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
+        fn = m.group(1)
+        if fn == "COUNT_S":
+            s, e, si = _split_top_args(inner)
+            out.append(f"SUM((({e}) - ({s})) DIV ({si}) + 1)")
+        elif fn == "AVG_S":
+            out.append(
+                f"(SUM(SEG_AGG({inner}).vsum) / SUM(SEG_AGG({inner}).cnt))"
+            )
+        else:
+            field = {"MIN_S": "vmin", "MAX_S": "vmax", "SUM_S": "vsum"}[fn]
+            agg = {"MIN_S": "MIN", "MAX_S": "MAX", "SUM_S": "SUM"}[fn]
+            out.append(f"{agg}(SEG_AGG({inner}).{field})")
+        pos = i
+
+
 #: the reference's `#` query sugar (engines/EngineUtilities.scala /
 #: SparkUDAF usage): `AGG_S(#)` expands to the full segment column
 #: list. Our per-series segment rows are self-describing, so the
@@ -112,9 +210,10 @@ def expand_segment_sugar(sql: str) -> str:
 
 def segment_sql(spark: SparkSession, sql: str):
     """Run reference-style SQL over the registered views: expands the
-    `#` sugar, then delegates to spark.sql (functions and views must be
-    registered first — register_views + register_sql_functions)."""
-    return spark.sql(expand_segment_sugar(sql))
+    `#` sugar, decomposes the *_S aggregates into partial/final form,
+    then delegates to spark.sql (functions and views must be registered
+    first — register_views + register_sql_functions)."""
+    return spark.sql(decompose_segment_aggregates(expand_segment_sugar(sql)))
 
 
 def _make_decode_udf():
@@ -218,6 +317,7 @@ def register_sql_functions(
     can fail to analyze / bind to a stale view.
     """
     register_point_function(spark, segment_view)
+    spark.udf.register("SEG_AGG", _make_seg_agg_udf())
     count_s, min_s, max_s, sum_s, avg_s = _make_udafs()
     spark.udf.register("COUNT_S", count_s)
     spark.udf.register("MIN_S", min_s)

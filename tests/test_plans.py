@@ -151,3 +151,76 @@ def test_rollup_is_single_hash_agg_pair(spark, sf_small, tmp_path):
     assert plan.count("Exchange hashpartitioning") <= 2, plan.count(
         "Exchange hashpartitioning"
     )
+
+
+def test_segment_sql_aggregates_decompose_partial_final(spark, sf_small, tmp_path):
+    """segment_sql rewrites the *_S aggregates into built-in aggregates
+    over per-segment SEG_AGG partials: the plan must be a partial/final
+    HashAggregate pair (map-side partials below the exchange, like the
+    reference's Aggregators, SparkUDAF.scala:37-51), with ONE deduped
+    ArrowEvalPython evaluation and no complete-mode AggregateInPandas
+    shipping a group's segment rows to one task."""
+    from modelardb_spark.operators.sqlfunctions import (
+        register_sql_functions,
+        segment_sql,
+    )
+
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "segsqlagg")
+    seg.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("segments")
+    register_sql_functions(spark)
+    df = segment_sql(
+        spark,
+        """
+        SELECT conv_id, COUNT_S(#) AS cnt, MIN_S(#) AS vmin,
+               MAX_S(#) AS vmax, SUM_S(#) AS vsum, AVG_S(#) AS mean
+        FROM segments GROUP BY conv_id
+        """,
+    )
+    plan = _plan(df)
+    assert "AggregateInPandas" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the five aggregates share ONE SEG_AGG evaluation (deduped):
+    # each segment decodes once, map-side
+    assert plan.count("SEG_AGG") == 1, plan
+    # and the UDF runs below the exchange (partial side)
+    ex = plan.index("Exchange hashpartitioning")
+    assert plan.index("ArrowEvalPython") > ex, "UDF must be below the exchange"
+
+
+def test_segment_sql_count_restrict_is_pure_jvm(spark, sf_small, tmp_path):
+    """COUNT_S decomposes to pure-SQL SUM arithmetic: a restriction +
+    count query contains no Python evaluation node at all."""
+    from modelardb_spark.operators.sqlfunctions import (
+        register_sql_functions,
+        segment_sql,
+    )
+
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "segsqlcnt")
+    seg.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("segments")
+    register_sql_functions(spark)
+    lo, hi = 1_704_672_000_000, 1_705_276_799_999
+    df = segment_sql(
+        spark,
+        f"""
+        SELECT conv_id, COUNT_S(se.s, se.e, interval_ms) AS cnt
+        FROM (
+          SELECT conv_id, interval_ms,
+                 START_END(start_ms, end_ms, interval_ms, {lo}, {hi}) AS se
+          FROM segments WHERE end_ms >= {lo} AND start_ms <= {hi}
+        ) GROUP BY conv_id
+        """,
+    )
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    # (AQE prints isFinalPlan=false pre-execution, so codegen spans
+    # aren't visible here; no-Python + hash aggregation is the claim)
+    assert "HashAggregate" in plan
