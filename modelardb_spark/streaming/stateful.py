@@ -123,7 +123,19 @@ def _fit_closed_grouped(
     return pd.concat(frames, ignore_index=True) if frames else None
 
 
-def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False):
+def _flag(df: pd.DataFrame | None, temporary: bool) -> pd.DataFrame | None:
+    if df is not None:
+        df = df.copy()
+        df["temporary"] = temporary
+    return df
+
+
+def _stateful_fit(
+    cfg: EngineConfig,
+    flush_after_ms: int,
+    grouped: bool = False,
+    emit_temporary: bool = False,
+):
     iv = cfg.interval_ms
     salt_ms = cfg.salt_days * 86_400_000
     fit_closed = _fit_closed_grouped if grouped else _fit_closed
@@ -137,6 +149,8 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
             blob, n_bins, tr, tu = state.get
             state.remove()
             df = fit_closed(conv, _state_bins(blob, n_bins), tr, tu, cfg)
+            if emit_temporary:
+                df = _flag(df, False)
             if df is not None:
                 yield df
             return
@@ -188,6 +202,8 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
             df = fit_closed(
                 conv, bins[:closed_upto], tr[:closed_upto], tu[:closed_upto], cfg
             )
+            if emit_temporary:
+                df = _flag(df, False)
             if df is not None:
                 yield df
         from modelardb_spark.models.deltadelta import dod_compress
@@ -201,6 +217,18 @@ def _stateful_fit(cfg: EngineConfig, flush_after_ms: int, grouped: bool = False)
                 tu[closed_upto:].tolist(),
             )
         )
+        if emit_temporary:
+            # TEMPORARY segments over the open run (SparkCache.scala:
+            # 167-213 makes the unemitted buffer queryable within the
+            # latency bound): provisional models over exactly the bins
+            # still in state — never overlapping the finalized prefix,
+            # replaced when this conversation next emits
+            tmp = _flag(
+                fit_closed(conv, open_bins, tr[closed_upto:], tu[closed_upto:], cfg),
+                True,
+            )
+            if tmp is not None:
+                yield tmp
         # event-time flush: fires only when the WATERMARK passes the
         # open run's tail + allowance, i.e. when no more rows for these
         # bins can exist — the flush is then final and duplicate-free.
@@ -223,6 +251,7 @@ def stream_ingest_stateful(
     flush_after_ms: int = 60_000,
     max_files_per_trigger: int = 1,
     grouped: bool = False,
+    emit_temporary: bool = False,
 ):
     """Streaming ingest whose segments span micro-batches: turns group
     by conv_id into `applyInPandasWithState`; the open run rides in
@@ -234,12 +263,33 @@ def stream_ingest_stateful(
     runs (the reference streams groups through the same
     SegmentGenerator, Spark.scala ingestion path): output rows are
     GROUP_SEGMENT_SCHEMA, bit-identical to `fit_segments_grouped` over
-    the concatenated input."""
+    the concatenated input.
+
+    `emit_temporary=True` adds the reference's TEMPORARY-SEGMENT
+    visibility (SparkCache.scala:167-213): each batch also emits
+    provisional segments over every touched conversation's OPEN run.
+    Finalized rows append to `segments_stream`; temporary rows replace
+    that conversation's partition of `temp_segments_stream` — a
+    conversation's temp rows exist exactly until it next emits, and a
+    finalize (protocol close or watermark flush) atomically removes
+    them in the same batch, the reference's truncate-reconcile. Query
+    through `segments_with_temporary` for full freshness within the
+    latency bound."""
     # the state fn receives naive local-time timestamps: pin UTC so
     # epoch-millis binning matches the batch path on ANY caller session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     from modelardb_spark.operators.groupfit import GROUP_SEGMENT_SCHEMA
 
+    base_schema = GROUP_SEGMENT_SCHEMA if grouped else SEGMENT_SCHEMA
+    out_schema = (
+        StructType(
+            base_schema.fields + [StructField("temporary", BooleanType(), False)]
+        )
+        if emit_temporary
+        else base_schema
+    )
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -249,19 +299,84 @@ def stream_ingest_stateful(
         "conv_id", F.col("ts").cast("timestamp").alias("ts"), "tool"
     ).withWatermark("ts", f"{max(1, flush_after_ms // 1000)} seconds")
     segs = turns.groupBy("conv_id").applyInPandasWithState(
-        _stateful_fit(cfg, flush_after_ms, grouped),
-        outputStructType=GROUP_SEGMENT_SCHEMA if grouped else SEGMENT_SCHEMA,
+        _stateful_fit(cfg, flush_after_ms, grouped, emit_temporary),
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return (
-        segs.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_root}/segments_stream")
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or f"{out_root}/_stateful_checkpoint",
-        )
-        .start()
+    writer = segs.writeStream.outputMode("append").option(
+        "checkpointLocation",
+        checkpoint_dir or f"{out_root}/_stateful_checkpoint",
     )
+    if not emit_temporary:
+        return (
+            writer.format("parquet")
+            .option("path", f"{out_root}/segments_stream")
+            .start()
+        )
+    return writer.foreachBatch(_temp_visible_writer(out_root)).start()
+
+
+def _temp_visible_writer(out_root: str):
+    """foreachBatch sink for emit_temporary mode: finals append,
+    temporaries replace their conversation's partition. The touched-
+    conversation set is bounded per batch (only convs with new data or
+    a flush emit), so the driver-side partition replace is O(active
+    convs), independent of history size."""
+    import os
+    import shutil
+
+    def write(bdf, batch_id: int) -> None:
+        bdf = bdf.persist()
+        try:
+            final = bdf.where(~F.col("temporary")).drop("temporary")
+            # batch-id-keyed directory: a replayed batch (at-least-once
+            # foreachBatch) overwrites its own output instead of
+            # appending duplicates — same discipline as jobs/ingest.py
+            final.write.mode("overwrite").parquet(
+                f"{out_root}/segments_stream/batch={batch_id}"
+            )
+            temp_root = f"{out_root}/temp_segments_stream"
+            # every conv that emitted ANYTHING this batch gets its temp
+            # partition replaced: finalize-only emissions (watermark
+            # flush) thereby truncate their stale temporaries — the
+            # reference's reconcile-on-finalize
+            for (conv,) in bdf.select("conv_id").distinct().collect():
+                d = os.path.join(temp_root, f"conv_id={conv}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            temp = bdf.where(F.col("temporary")).drop("temporary")
+            if temp.head(1):
+                temp.write.mode("append").partitionBy("conv_id").parquet(
+                    temp_root
+                )
+        finally:
+            bdf.unpersist()
+
+    return write
+
+
+def segments_with_temporary(
+    spark: SparkSession, out_root: str, grouped: bool = False
+):
+    """The query surface of emit_temporary mode: finalized ∪ open-run
+    temporary segments (SparkCache.scala:167-213's union of persistent
+    and temporary segments) — a query between micro-batches sees every
+    ingested point within the latency bound; after the final flush the
+    temporary side is empty and the union equals the batch fit."""
+    import os
+
+    from modelardb_spark.operators.groupfit import GROUP_SEGMENT_SCHEMA
+
+    schema = GROUP_SEGMENT_SCHEMA if grouped else SEGMENT_SCHEMA
+    cols = [f.name for f in schema.fields]
+    # the finalized side may be batch=<id>-partitioned (emit_temporary
+    # writer) or flat (plain sink): select the canonical columns either
+    # way, dropping any discovered partition column
+    fin = spark.read.parquet(f"{out_root}/segments_stream").select(*cols)
+    temp_root = f"{out_root}/temp_segments_stream"
+    if not os.path.exists(temp_root):
+        return fin
+    tmp = spark.read.parquet(temp_root).select(*cols)
+    return fin.unionByName(tmp)

@@ -303,3 +303,108 @@ def test_stateful_stream_recovers_after_restart(spark, tmp_path):
     assert got == want
     # the 12-bin run spans the restart boundary in one segment set
     assert any(s[1] == BASE and s[2] == BASE + 11 * MIN for s in got)
+
+
+def test_temporary_segments_visible_mid_stream(spark, tmp_path):
+    """emit_temporary mode (SparkCache.scala:167-213): a query BETWEEN
+    micro-batches over finalized ∪ temporary segments sees every
+    ingested point exactly; when runs finalize, the temporaries are
+    truncate-reconciled away and the union equals the batch fit."""
+    import glob
+    import time as _time
+
+    from modelardb_spark.operators.grid import grid
+    from modelardb_spark.streaming.stateful import segments_with_temporary
+
+    # drop 1: one OPEN 10-bin run (no gap, no salt crossing)
+    drop1 = [("x", b * MIN, "click" if b % 3 == 0 else None) for b in range(10)]
+    # drop 2: continues the run 2 more bins, then a gap-separated run,
+    # then a far-future sentinel that closes run 2 but stays open itself
+    drop2 = (
+        [("x", (10 + b) * MIN, None) for b in range(2)]
+        + [("x", (30 + b) * MIN, "click") for b in range(4)]
+        + [("x", 10_000 * MIN, None)]
+    )
+
+    in_dir = str(tmp_path / "tdrops")
+    os.makedirs(in_dir)
+    _frame(spark, drop1).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+
+    out_root = str(tmp_path / "tout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1, emit_temporary=True,
+    )
+
+    def _points(df):
+        return {
+            (r["conv_id"], r["metric"], r["bin_ms"], r["value"])
+            for r in grid(df).collect()
+        }
+
+    def _expected(items):
+        return {
+            (r["conv_id"], r["metric"], r["bin_ms"], r["value"])
+            for r in derive_series(_frame(spark, items)).collect()
+        }
+
+    try:
+        # batch 1: nothing finalizes (single open run) — yet every
+        # ingested point is already queryable via the temporary side
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            if glob.glob(f"{out_root}/temp_segments_stream/conv_id=*/*.parquet"):
+                try:
+                    if _points(segments_with_temporary(spark, out_root)) \
+                            == _expected(drop1):
+                        break
+                except Exception:
+                    pass  # sink mid-commit; retry
+            _time.sleep(2)
+        assert _points(segments_with_temporary(spark, out_root)) == _expected(
+            drop1
+        ), "mid-stream query must see every ingested point"
+
+        # batch 2: run 1 and run 2 finalize; the sentinel stays open
+        _frame(spark, drop2).coalesce(1).write.parquet(f"{in_dir}/d2.parquet")
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            try:
+                fin = spark.read.parquet(f"{out_root}/segments_stream")
+                if fin.count() >= 4:  # 2 closed runs x 2 metrics
+                    break
+            except Exception:
+                pass
+            _time.sleep(2)
+    finally:
+        q.stop()
+
+    # the union now equals the FULL input, exactly once per point
+    union = segments_with_temporary(spark, out_root)
+    pts = [
+        (r["conv_id"], r["metric"], r["bin_ms"], r["value"])
+        for r in grid(union).collect()
+    ]
+    assert len(pts) == len(set(pts)), "temporaries must reconcile, not overlap"
+    assert set(pts) == _expected(drop1 + drop2)
+    # and the finalized side alone matches the batch fit for closed runs
+    sentinel_bin = (BASE + 10_000 * MIN) // MIN * MIN
+    fin = spark.read.parquet(f"{out_root}/segments_stream")
+    got = {
+        (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"], r["mtid"],
+         bytes(r["model"]))
+        for r in fin.select(*[f.name for f in fit_segments(
+            derive_series(_frame(spark, drop1))).schema.fields]).collect()
+    }
+    want = {
+        (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"], r["mtid"],
+         bytes(r["model"]))
+        for r in fit_segments(derive_series(_frame(spark, drop1 + drop2)))
+        .where(F.col("start_ms") < sentinel_bin)
+        .collect()
+    }
+    assert got == want
