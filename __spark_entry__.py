@@ -379,19 +379,20 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: IVF parameters shared by the Spark query and its SQL oracle
-_IVF_CELLS, _IVF_PROBE = 16, 4
+_IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 4, 2
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors: deterministic centroid seed
-    (md5-ordered corpus vectors standing in for offline k-means),
+    """IVF approximate nearest neighbors with TRAINED centroids:
+    deterministic md5 seed refined by 2 distributed Lloyd iterations
+    (fixed-point per-cell means keep the oracle bit-reproducible),
     cell-keyed candidate join, exact ranking within probed cells."""
     from modelardb_spark.operators.similarity import ivf_topk, load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
     return ivf_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5,
-        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, train_iters=_IVF_ITERS,
     )
 
 
@@ -1077,6 +1078,71 @@ _SQL_COSINE = (
 )
 
 
+def _sql_ivf_trained_cents(n_cells: int, iters: int, quant: int = 1000) -> str:
+    """CTE chain reproducing `similarity.ivf_train` in DuckDB: md5
+    seeds as iteration 0, then `iters` unrolled Lloyd rounds of
+    (round-6 cosine argmin assignment -> per-cell FIXED-POINT mean).
+    The fixed-point sums (floor(x*quant + 0.5) as BIGINT) are exact
+    integers, so both engines compute identical centroids regardless
+    of aggregation order; empty cells keep their previous centroid.
+    Emits the final `cents(cell, cemb, cnorm)`."""
+    parts = [
+        f"""
+cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells})
+)"""
+    ]
+    for c in range(1, iters + 1):
+        p = c - 1
+        parts.append(
+            f"""
+centsn{p} AS (
+  SELECT cell, cemb,
+         sqrt(list_sum(list_transform(cemb, x -> x * x))) AS cnorm
+  FROM cents{p}
+), sc{c} AS (
+  SELECT b.vec_id, c.cell,
+         round(list_sum(list_transform(list_zip(b.embedding, c.cemb),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (b.norm * c.cnorm), 6) AS csim
+  FROM base b CROSS JOIN centsn{p} c
+), as{c} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+    FROM sc{c}
+  ) WHERE rn = 1
+), sums{c} AS (
+  SELECT a.cell, d.idx,
+         SUM(CAST(floor(CAST(e.embedding[d.idx] AS DOUBLE) * {quant} + 0.5)
+                  AS BIGINT)) AS s,
+         COUNT(*) AS cnt
+  FROM as{c} a
+  JOIN embeddings e USING (vec_id),
+  LATERAL (SELECT UNNEST(generate_series(1, len(e.embedding))) AS idx) d
+  GROUP BY 1, 2
+), cents{c} AS (
+  SELECT p.cell, COALESCE(n.cemb, p.cemb) AS cemb
+  FROM cents{p} p LEFT JOIN (
+    SELECT cell, list((CAST(s AS DOUBLE) / {quant}.0) / cnt ORDER BY idx) AS cemb
+    FROM sums{c} GROUP BY cell
+  ) n USING (cell)
+)"""
+        )
+    parts.append(
+        f"""
+cents AS (
+  SELECT cell, cemb,
+         sqrt(list_sum(list_transform(cemb, x -> x * x))) AS cnorm
+  FROM cents{iters}
+)"""
+    )
+    return ",".join(parts)
+
+
 def _sql_lsh_sigs(bits: int, tables: int, seed: int) -> str:
     """DuckDB CTEs reproducing `similarity.hyperplanes` +
     `similarity.lsh_buckets_multi`: plane component (i, j) of table t
@@ -1588,15 +1654,9 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
         "ivf_topk": (
             "WITH "
             + _SQL_EMB_BASE
-            + f""",
-cents AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
-         embedding AS cemb,
-         sqrt(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cnorm
-  FROM (SELECT * FROM embeddings
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS})
-), scored_cells AS (
+            + ","
+            + _sql_ivf_trained_cents(_IVF_CELLS, _IVF_ITERS)
+            + f""", scored_cells AS (
   SELECT b.vec_id, c.cell,
          round(list_sum(list_transform(list_zip(b.embedding, c.cemb),
                t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))

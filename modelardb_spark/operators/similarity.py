@@ -331,6 +331,86 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    quant: int = 1000,
+) -> DataFrame:
+    """Distributed Lloyd refinement of the deterministic md5 seeds:
+    real k-means training for the IVF index, run as `iters` rounds of
+    (map-only assignment -> per-partition partial sums -> driver reduce
+    of K rows). Scale shape: each round broadcasts the K x dim centroid
+    matrix, assigns every corpus vector in one map pass, and ships only
+    #partitions x K partial-sum rows to the driver — no shuffle of the
+    corpus, bounded driver state, any corpus size.
+
+    Cross-engine determinism: per-cell means are computed over
+    FIXED-POINT coordinates (floor(x * quant + 0.5) as int64), so the
+    partial sums are exact integers — independent of partition order
+    AND of the oracle engine's aggregation order; the final division
+    (sum / quant) / count is one deterministic IEEE operation chain.
+    A floating-point mean would differ between engines in the last few
+    ulps and could flip round-6 cosine ties downstream. Empty cells
+    keep their previous centroid (standard Lloyd)."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    seed_rows = ivf_centroids(emb, n_cells).orderBy("cell").collect()
+    cells = np.array([r["cell"] for r in seed_rows], dtype=np.int64)
+    cm = np.array(
+        [[float(v) for v in r["embedding"]] for r in seed_rows], dtype=np.float64
+    )
+    dim = cm.shape[1]
+    sc = spark.sparkContext
+    for _ in range(max(0, iters)):
+        norms = np.sqrt((cm * cm).sum(axis=1))
+        bq = sc.broadcast((cells, cm, norms))
+
+        def partials(batches):
+            cl, m_c, n_c = bq.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.array(list(pdf["embedding"]), dtype=np.float64)
+                bnorm = np.sqrt((block * block).sum(axis=1))
+                sims = np.round((block @ m_c.T) / np.outer(bnorm, n_c), 6)
+                order = np.lexsort(
+                    (cl[None, :].repeat(block.shape[0], 0), -sims), axis=1
+                )[:, 0]
+                assigned = cl[order]
+                q = np.floor(block * quant + 0.5).astype(np.int64)
+                out = {"cell": [], "cnt": [], "qsum": []}
+                for c in np.unique(assigned):
+                    mask = assigned == c
+                    out["cell"].append(int(c))
+                    out["cnt"].append(int(mask.sum()))
+                    out["qsum"].append(q[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        rows = (
+            emb.select("embedding")
+            .mapInPandas(partials, "cell int, cnt bigint, qsum array<bigint>")
+            .collect()
+        )
+        sums = {int(c): np.zeros(dim, dtype=np.int64) for c in cells}
+        counts = {int(c): 0 for c in cells}
+        for r in rows:
+            sums[r["cell"]] += np.asarray(r["qsum"], dtype=np.int64)
+            counts[r["cell"]] += r["cnt"]
+        new_cm = cm.copy()
+        for i, c in enumerate(cells):
+            if counts[int(c)]:
+                new_cm[i] = (
+                    sums[int(c)].astype(np.float64) / float(quant)
+                ) / counts[int(c)]
+        cm = new_cm
+    return spark.createDataFrame(
+        [(int(c), [float(v) for v in cm[i]]) for i, c in enumerate(cells)],
+        "cell int, embedding array<double>",
+    )
+
+
 def _centroid_matrix(cents: DataFrame):
     rows = cents.select("cell", "embedding").collect()  # K rows only
     cells = np.array([r["cell"] for r in rows], dtype=np.int64)
@@ -393,16 +473,24 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest
     centroid's cell; each query probes its `n_probe` nearest cells and
     ranks exactly (round-6 cosine, neighbor-id ties) within the probed
-    candidates. Shuffle volume is O(corpus) for the cell assignment
-    plus O(candidates) for the probe join — never O(n^2); recall is
-    tuned with (n_cells, n_probe)."""
+    candidates. Centroids are Lloyd-trained (`ivf_train`,
+    `train_iters` rounds from the deterministic md5 seed;
+    `train_iters=0` keeps the raw seeds). Shuffle volume is O(corpus)
+    for the cell assignment plus O(candidates) for the probe join —
+    never O(n^2); recall is tuned with (n_cells, n_probe,
+    train_iters)."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(emb, n_cells)
+    cents = (
+        ivf_train(emb, n_cells, iters=train_iters)
+        if train_iters > 0
+        else ivf_centroids(emb, n_cells)
+    )
     corpus = ivf_assign(emb, cents, n_probe=1).select("vec_id", "cell")
     probes = ivf_assign(queries, cents, n_probe=n_probe).select(
         F.col("vec_id").alias("query_id"), "cell"
