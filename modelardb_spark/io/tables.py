@@ -58,7 +58,14 @@ def with_part_key(df: DataFrame, buckets: int = 32) -> DataFrame:
 
 @dataclass
 class TableCatalog:
+    """`fmt` selects the storage format: "parquet" (default) or "orc"
+    — the reference treats ORC as a first-class segment backend
+    (storage/ORCStorage.scala) alongside Parquet
+    (storage/ParquetStorage.scala); both carry the binary model column
+    and the partition layout identically."""
+
     root: str
+    fmt: str = "parquet"
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -67,13 +74,13 @@ class TableCatalog:
         return os.path.exists(self.path(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+        return spark.read.format(self.fmt).load(self.path(name))
 
     def overwrite(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        w.format(self.fmt).save(self.path(name))
 
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
@@ -85,14 +92,15 @@ class TableCatalog:
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
-            .parquet(self.path(name))
+            .format(self.fmt)
+            .save(self.path(name))
         )
 
     def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        w.format(self.fmt).save(self.path(name))
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         """Retention primitive: drop whole partition directories

@@ -51,6 +51,7 @@ def ingest(
     fail_after_chunks: int | None = None,
     grouped: bool = False,
     dynamic_split_fraction: float | None = None,
+    fmt: str = "parquet",
 ) -> dict:
     """Run the pipeline; returns metrics. `fail_after_chunks` injects a
     crash after N chunks (resume tests only). `grouped=True` compresses
@@ -67,7 +68,9 @@ def ingest(
             "ingest(): resume unit is the UTC day and requires "
             f"cfg.salt_days == 1 (got {cfg.salt_days})"
         )
-    catalog = TableCatalog(out_root)
+    # fmt: "parquet" or "orc" — the reference's two columnar segment
+    # backends (storage/ParquetStorage.scala, storage/ORCStorage.scala)
+    catalog = TableCatalog(out_root, fmt)
     ckpt = CheckpointStore(out_root)
 
     # Stage the input day-partitioned ONCE per snapshot so that each
@@ -213,8 +216,11 @@ def ingest(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", required=True, help="events parquet path")
-    ap.add_argument("--out", required=True, help="output catalog root")
+    ap.add_argument("--config", help="TOML config (modelardb_spark.config_file)"
+                    " — [engine]+[ingest] drive the whole job; other flags"
+                    " are ignored when set")
+    ap.add_argument("--events", help="events parquet path")
+    ap.add_argument("--out", help="output catalog root")
     ap.add_argument("--error-bound", type=float, default=0.0)
     ap.add_argument("--snapshot-id", default="snap-0")
     ap.add_argument("--grouped", action="store_true",
@@ -222,18 +228,29 @@ def main() -> None:
     ap.add_argument("--dynamic-split-fraction", type=float, default=None,
                     help="with --grouped: ratio-feedback dynamic split/join "
                          "threshold (reference default 0.10)")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
+                    help="segment/rollup table format (ORCStorage parity)")
     args = ap.parse_args()
 
     from modelardb_spark.operators.transcripts import transcripts_from_events
     from modelardb_spark.session import get_spark
 
     spark = get_spark(app_name="modelardb-ingest")
+    if args.config:
+        from modelardb_spark.config_file import load_config, run_ingest
+
+        print(run_ingest(spark, load_config(args.config)))
+        spark.stop()
+        return
+    if not (args.events and args.out):
+        ap.error("--events and --out are required without --config")
     sf_dir = args.events.rsplit("/", 1)[0]
     transcripts = transcripts_from_events(spark, sf_dir)
     cfg = EngineConfig(error_bound=args.error_bound)
     print(ingest(spark, transcripts, args.out, cfg,
                  snapshot_id=args.snapshot_id, grouped=args.grouped,
-                 dynamic_split_fraction=args.dynamic_split_fraction))
+                 dynamic_split_fraction=args.dynamic_split_fraction,
+                 fmt=args.format))
     spark.stop()
 
 

@@ -164,6 +164,9 @@ def run_statements(spark: SparkSession, text: str, limit: int) -> None:
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", help="TOML config (modelardb_spark."
+                    "config_file): [engine]+[query_server]+[derived] drive"
+                    " the session and interface mode")
     ap.add_argument("--events", help="events parquet to fit on the fly")
     ap.add_argument("--segments-dir", help="ingest output root with segments/")
     ap.add_argument("--error-bound", type=float, default=0.0)
@@ -184,7 +187,25 @@ def main(argv: list[str] | None = None) -> None:
     from modelardb_spark.session import get_spark
 
     spark = get_spark(app_name="modelardb-query-server")
-    prepare_session(spark, args.events, args.segments_dir, args.error_bound)
+    if args.config:
+        from modelardb_spark.config_file import load_config, prepare_query_session
+
+        conf = load_config(args.config)
+        prepare_query_session(spark, conf)
+        qs = conf.get("query_server", {})
+        mode = qs.get("mode", "repl")
+        args.limit = int(qs.get("limit", args.limit))
+        args.host = qs.get("host", args.host)
+        if mode == "sql":
+            args.sql = qs["sql"]
+        elif mode == "file":
+            args.file = qs["file"]
+        elif mode == "socket":
+            args.socket_port = int(qs.get("port", 0))
+        elif mode == "http":
+            args.http_port = int(qs.get("port", 0))
+    else:
+        prepare_session(spark, args.events, args.segments_dir, args.error_bound)
 
     if args.sql:
         run_statements(spark, args.sql, args.limit)

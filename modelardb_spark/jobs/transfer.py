@@ -112,6 +112,8 @@ def transfer_segments(
     chunk_days: int = 64,
     fail_after_chunks: int | None = None,
     dedup_keys: list[str] | None = None,
+    src_fmt: str = "parquet",
+    dst_fmt: str = "parquet",
 ) -> dict:
     """Ship finalized segments from the edge catalog at `src_root` to
     the cloud catalog at `dst_root`; returns metrics. Resumable
@@ -119,8 +121,8 @@ def transfer_segments(
     dedup against destination partitions), crash-safe
     (`fail_after_chunks` injects a crash for the resume tests)."""
     dedup_keys = dedup_keys or SEGMENT_KEYS
-    src = TableCatalog(src_root)
-    dst = TableCatalog(dst_root)
+    src = TableCatalog(src_root, src_fmt)
+    dst = TableCatalog(dst_root, dst_fmt)
     ckpt = CheckpointStore(dst_root)
     ckpt_table = f"transfer:{table}"
 
@@ -210,6 +212,8 @@ def main() -> None:
     ap.add_argument("--dst", required=True, help="cloud catalog root")
     ap.add_argument("--table", default="segments")
     ap.add_argument("--chunk-days", type=int, default=64)
+    ap.add_argument("--src-format", default="parquet", choices=["parquet", "orc"])
+    ap.add_argument("--dst-format", default="parquet", choices=["parquet", "orc"])
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark
@@ -219,6 +223,7 @@ def main() -> None:
         transfer_segments(
             spark, args.src, args.dst, table=args.table,
             chunk_days=args.chunk_days,
+            src_fmt=args.src_format, dst_fmt=args.dst_format,
         )
     )
     spark.stop()

@@ -30,8 +30,8 @@ def transcripts(spark):
     return t
 
 
-def _table_fingerprint(spark, root, name):
-    df = spark.read.parquet(os.path.join(root, name))
+def _table_fingerprint(spark, root, name, fmt="parquet"):
+    df = spark.read.format(fmt).load(os.path.join(root, name))
     cols = sorted(c for c in df.columns if c != "part_bucket")
     return (
         df.select(*cols)
@@ -41,30 +41,36 @@ def _table_fingerprint(spark, root, name):
     )
 
 
-def test_resume_after_injected_failure(spark, transcripts, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_resume_after_injected_failure(spark, transcripts, tmp_path, fmt):
+    """Parameterized over the reference's two columnar backends
+    (ParquetStorage / ORCStorage): the resume contract is
+    format-independent."""
     clean_root = str(tmp_path / "clean")
     crash_root = str(tmp_path / "crash")
     cfg = EngineConfig()
 
-    m = ingest(spark, transcripts, clean_root, cfg, snapshot_id="s1", chunk_days=2)
+    m = ingest(spark, transcripts, clean_root, cfg, snapshot_id="s1",
+               chunk_days=2, fmt=fmt)
     assert m["days_skipped"] == 0
 
     with pytest.raises(RuntimeError, match="injected failure"):
         ingest(
             spark, transcripts, crash_root, cfg, snapshot_id="s1",
-            chunk_days=2, fail_after_chunks=2,
+            chunk_days=2, fail_after_chunks=2, fmt=fmt,
         )
     # resume: done days are skipped, output identical to the clean run
-    m2 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1", chunk_days=2)
+    m2 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1",
+                chunk_days=2, fmt=fmt)
     assert m2["days_skipped"] == 4  # 2 chunks x 2 days completed pre-crash
 
     for name in ("segments", "rollup_1m", "rollup_1h", "rollup_1d"):
-        assert _table_fingerprint(spark, clean_root, name) == _table_fingerprint(
-            spark, crash_root, name
-        ), name
+        assert _table_fingerprint(spark, clean_root, name, fmt) == \
+            _table_fingerprint(spark, crash_root, name, fmt), name
 
     # idempotent third run: everything skipped
-    m3 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1", chunk_days=2)
+    m3 = ingest(spark, transcripts, crash_root, cfg, snapshot_id="s1",
+                chunk_days=2, fmt=fmt)
     assert m3["days_skipped"] == m3["days_total"]
 
     # metrics/lineage rows exist per partition
@@ -110,10 +116,12 @@ def test_new_snapshot_recomputes(spark, transcripts, tmp_path):
     assert m["days_skipped"] == 0  # lineage changed -> full recompute
 
 
-def test_retention_drops_cold_tiers(spark, transcripts, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_retention_drops_cold_tiers(spark, transcripts, tmp_path, fmt):
     root = str(tmp_path / "ret")
-    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="s", chunk_days=64)
-    catalog = TableCatalog(root)
+    ingest(spark, transcripts, root, EngineConfig(), snapshot_id="s",
+           chunk_days=64, fmt=fmt)
+    catalog = TableCatalog(root, fmt)
     days = sorted(int(d) for d in catalog.list_partitions("segments", "part_day"))
     assert days
     # "now" such that the oldest day is beyond hot retention but within warm
