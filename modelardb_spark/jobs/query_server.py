@@ -174,6 +174,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--file", help="query file, ;-separated statements")
     ap.add_argument("--socket-port", type=int, help="serve a TCP line protocol")
     ap.add_argument("--http-port", type=int, help="serve HTTP (POST SQL / GET ?q=)")
+    ap.add_argument("--flight-port", type=int,
+                    help="serve Arrow Flight (the reference's DEFAULT "
+                    "interface, `modelardb.interface arrow`): do_get "
+                    "with a SQL ticket streams the result as Arrow "
+                    "record batches; do_put receives segment tables")
     ap.add_argument(
         "--host",
         default="127.0.0.1",
@@ -204,6 +209,8 @@ def main(argv: list[str] | None = None) -> None:
             args.socket_port = int(qs.get("port", 0))
         elif mode == "http":
             args.http_port = int(qs.get("port", 0))
+        elif mode == "flight":
+            args.flight_port = int(qs.get("port", 0))
     else:
         prepare_session(spark, args.events, args.segments_dir, args.error_bound)
 
@@ -220,6 +227,17 @@ def main(argv: list[str] | None = None) -> None:
         srv = make_http_server(spark, args.host, args.http_port, args.limit)
         print(f"-- http on {srv.server_address[0]}:{srv.server_address[1]}")
         srv.serve_forever()
+    elif args.flight_port is not None:
+        import tempfile
+
+        from modelardb_spark.remote.flight import SegmentFlightServer
+
+        srv = SegmentFlightServer(
+            tempfile.mkdtemp(prefix="mdb-flight-recv-"),
+            host=args.host, port=args.flight_port, spark=spark,
+        )
+        print(f"-- flight on grpc://{args.host}:{srv.port}")
+        srv.serve()
     else:  # REPL
         print("-- modelardb_spark SQL (reference-style, # sugar); Ctrl-D exits")
         for raw in sys.stdin:

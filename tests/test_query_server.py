@@ -105,3 +105,33 @@ def test_http_interface_round_trip(spark, sf_small):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_flight_interface_round_trip(spark, sf_small, tmp_path):
+    """The reference's DEFAULT interface (`modelardb.interface arrow`,
+    QueryInterfaceFlightProducer.scala:35-104): a SQL ticket over
+    Arrow Flight returns the query result as record batches, with the
+    full registered surface (# sugar, *_S aggregates)."""
+    import pytest
+
+    pytest.importorskip("pyarrow.flight")
+    from modelardb_spark.remote.flight import SegmentFlightServer, get_query
+
+    prepare_session(spark, events=f"{sf_small}/events.parquet")
+    server = SegmentFlightServer(str(tmp_path / "recv"), spark=spark)
+    try:
+        got = get_query(
+            f"grpc://127.0.0.1:{server.port}",
+            "SELECT conv_id, metric, COUNT_S(#) AS cnt "
+            "FROM segments GROUP BY conv_id, metric",
+        )
+        local = execute(
+            spark,
+            "SELECT conv_id, metric, COUNT_S(#) AS cnt "
+            "FROM segments GROUP BY conv_id, metric",
+        ).collect()
+        assert sorted(got.to_pylist(), key=lambda r: (r["conv_id"], r["metric"])) \
+            == sorted((r.asDict() for r in local),
+                      key=lambda r: (r["conv_id"], r["metric"]))
+    finally:
+        server.shutdown()
