@@ -408,3 +408,54 @@ def test_temporary_segments_visible_mid_stream(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_grouped_temporary_segments_union_complete(spark, tmp_path):
+    """emit_temporary with grouped=True: the GROUP cascade's open runs
+    are queryable too — finalized ∪ temporary group segments decode to
+    every ingested point mid-stream."""
+    import glob
+    import time as _time
+
+    from modelardb_spark.operators.groupfit import grid_group
+    from modelardb_spark.streaming.stateful import segments_with_temporary
+
+    drop1 = [("g", b * MIN, "click" if b % 2 == 0 else None) for b in range(8)]
+    in_dir = str(tmp_path / "gdrops")
+    os.makedirs(in_dir)
+    _frame(spark, drop1).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+
+    out_root = str(tmp_path / "gout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1, grouped=True, emit_temporary=True,
+    )
+
+    def _points():
+        u = segments_with_temporary(spark, out_root, grouped=True)
+        return {
+            (r["conv_id"], r["metric"], r["bin_ms"], r["value"])
+            for r in grid_group(u).collect()
+        }
+
+    expected = {
+        (r["conv_id"], r["metric"], r["bin_ms"], r["value"])
+        for r in derive_series(_frame(spark, drop1)).collect()
+    }
+    try:
+        deadline = _time.time() + 120
+        ok = False
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            if glob.glob(f"{out_root}/temp_segments_stream/conv_id=*/*.parquet"):
+                try:
+                    if _points() == expected:
+                        ok = True
+                        break
+                except Exception:
+                    pass
+            _time.sleep(2)
+        assert ok, "grouped mid-stream union must see every ingested point"
+    finally:
+        q.stop()

@@ -159,3 +159,17 @@ def test_flight_put_get_round_trip(spark, edge_root, tmp_path):
         assert names[0].endswith("pmc_mean") and len(names) == 3
     finally:
         server.shutdown()
+
+
+def test_transfer_converts_formats(spark, edge_root, tmp_path):
+    """Cross-backend shipment (ParquetStorage edge -> ORCStorage
+    cloud): the transfer job converts formats in flight; content and
+    rollups are identical."""
+    cloud = str(tmp_path / "cloud_orc")
+    transfer_segments(spark, edge_root, cloud, dst_fmt="orc")
+    src = TableCatalog(edge_root).read(spark, "segments")
+    dst = TableCatalog(cloud, "orc").read(spark, "segments")
+    assert _sorted_rows(dst.select(*src.columns)) == _sorted_rows(src)
+    assert _sorted_rows(
+        rollup_from_segments(dst, HOUR_MS)
+    ) == _sorted_rows(rollup_from_segments(src, HOUR_MS))
