@@ -107,6 +107,12 @@ def run_ingest(spark, conf: dict) -> dict:
     ing = conf.get("ingest", {})
     if "events" not in ing or "out" not in ing:
         raise ValueError("[ingest] requires `events` and `out`")
+    if ing.get("dynamic_split_fraction") is not None and not ing.get("grouped"):
+        raise ValueError(
+            "[ingest] dynamic_split_fraction only applies with "
+            "grouped = true (the ratio-feedback split/join runs inside "
+            "the group fit) — set grouped or drop the knob"
+        )
     sf_dir = ing["events"].rsplit("/", 1)[0]
     return ingest(
         spark,
@@ -128,13 +134,21 @@ def run_transfer(spark, conf: dict) -> dict:
     tr = conf.get("transfer", {})
     if "src" not in tr or "dst" not in tr:
         raise ValueError("[transfer] requires `src` and `dst`")
+    # a transfer whose src is this config's own [ingest] output
+    # inherits its format — one declaration, no redundant restating
+    ingest_fmt = str(conf.get("ingest", {}).get("format", "parquet"))
+    src_default = (
+        ingest_fmt
+        if tr["src"] == conf.get("ingest", {}).get("out")
+        else "parquet"
+    )
     return transfer_segments(
         spark,
         tr["src"],
         tr["dst"],
         table=str(tr.get("table", "segments")),
         chunk_days=int(tr.get("chunk_days", 64)),
-        src_fmt=str(tr.get("src_format", "parquet")),
+        src_fmt=str(tr.get("src_format", src_default)),
         dst_fmt=str(tr.get("dst_format", "parquet")),
     )
 
@@ -149,11 +163,17 @@ def prepare_query_session(spark, conf: dict):
 
     qs = conf.get("query_server", {})
     cfg = engine_config(conf)
+    # full cfg forwarded: every [engine] knob (interval_ms,
+    # length_bound, metrics, ...) governs the base fit, not just the
+    # error bound; a stored segments_dir inherits [ingest]'s format
     seg = prepare_session(
         spark,
         events=qs.get("events"),
         segments_dir=qs.get("segments_dir"),
-        error_bound=cfg.error_bound,
+        cfg=cfg,
+        fmt=str(
+            qs.get("format", conf.get("ingest", {}).get("format", "parquet"))
+        ),
     )
     derived = derived_clauses(conf)
     if derived:

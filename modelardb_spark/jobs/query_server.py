@@ -46,14 +46,19 @@ def prepare_session(
     events: str | None = None,
     segments_dir: str | None = None,
     error_bound: float = 0.0,
+    cfg: EngineConfig | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Register the query surface (views + SQL functions) over segments
     fitted from `events` or read from a stored ingest output; returns
-    the segments frame."""
+    the segments frame. `cfg` carries the full engine knob set (a
+    declarative config passes it; `error_bound` alone is the CLI
+    shortcut); `fmt` must match the stored table's format ("parquet"
+    or "orc" — an ORC ingest output is queried with fmt="orc")."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cfg = EngineConfig(error_bound=error_bound)
+    cfg = cfg if cfg is not None else EngineConfig(error_bound=error_bound)
     if segments_dir is not None:
-        seg = spark.read.parquet(f"{segments_dir}/segments")
+        seg = spark.read.format(fmt).load(f"{segments_dir}/segments")
     elif events is not None:
         from modelardb_spark.operators.fit import fit_segments_wide
         from modelardb_spark.operators.series import derive_series_wide
@@ -169,6 +174,9 @@ def main(argv: list[str] | None = None) -> None:
                     " the session and interface mode")
     ap.add_argument("--events", help="events parquet to fit on the fly")
     ap.add_argument("--segments-dir", help="ingest output root with segments/")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
+                    help="stored segments format (must match the ingest"
+                    " --format that wrote --segments-dir)")
     ap.add_argument("--error-bound", type=float, default=0.0)
     ap.add_argument("--sql", help="one-shot statement(s), ;-separated")
     ap.add_argument("--file", help="query file, ;-separated statements")
@@ -212,7 +220,8 @@ def main(argv: list[str] | None = None) -> None:
         elif mode == "flight":
             args.flight_port = int(qs.get("port", 0))
     else:
-        prepare_session(spark, args.events, args.segments_dir, args.error_bound)
+        prepare_session(spark, args.events, args.segments_dir,
+                        args.error_bound, fmt=args.format)
 
     if args.sql:
         run_statements(spark, args.sql, args.limit)

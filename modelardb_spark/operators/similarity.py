@@ -335,8 +335,14 @@ def ivf_centroids(emb: DataFrame, n_cells: int = 16) -> DataFrame:
 #: n_cells, iters, quant): an IVF index is trained ONCE and reused by
 #: every query against the same corpus (the production pattern —
 #: offline k-means persisted next to the table); retraining per query
-#: would pay `iters` sequential job barriers every time
+#: would pay `iters` sequential job barriers every time. The key is
+#: the PLAN hash, which is content-blind for file sources: if the
+#: files behind the same path are rewritten mid-session, pass
+#: use_cache=False (or start a fresh session) to retrain — the same
+#: staleness contract as any persisted offline index. Bounded FIFO
+#: (centroid rows are tiny; the bound is hygiene, not memory safety).
 _TRAIN_CACHE: dict[tuple, list] = {}
+_TRAIN_CACHE_MAX = 16
 
 
 def ivf_train(
@@ -430,6 +436,8 @@ def ivf_train(
     corpus.unpersist()
     rows = [(int(c), [float(v) for v in cm[i]]) for i, c in enumerate(cells)]
     if cache_key is not None:
+        while len(_TRAIN_CACHE) >= _TRAIN_CACHE_MAX:
+            _TRAIN_CACHE.pop(next(iter(_TRAIN_CACHE)))
         _TRAIN_CACHE[cache_key] = rows
     return spark.createDataFrame(rows, "cell int, embedding array<double>")
 

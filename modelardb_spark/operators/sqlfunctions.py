@@ -148,8 +148,33 @@ def decompose_segment_aggregates(sql: str) -> str:
 
     Only map-side partials cross the shuffle; a mega-series' segment
     rows never collapse onto one task (the complete-mode grouped-agg
-    fallback would ship them all to one)."""
+    fallback would ship them all to one). Matches inside single-quoted
+    string literals and `--` line comments are left untouched."""
     import re
+
+    # mask of positions inside '...' literals ('' escapes) or -- comments
+    in_lit = [False] * len(sql)
+    i, q = 0, False
+    while i < len(sql):
+        ch = sql[i]
+        if q:
+            in_lit[i] = True
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    in_lit[i + 1] = True
+                    i += 1
+                else:
+                    q = False
+        elif ch == "'":
+            in_lit[i] = True
+            q = True
+        elif ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = len(sql) if j == -1 else j
+            for k in range(i, j):
+                in_lit[k] = True
+            i = j - 1 if j > i else i
+        i += 1
 
     out = []
     pos = 0
@@ -159,6 +184,10 @@ def decompose_segment_aggregates(sql: str) -> str:
         if not m:
             out.append(sql[pos:])
             return "".join(out)
+        if in_lit[m.start()]:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
         out.append(sql[pos : m.start()])
         # scan the balanced argument list
         depth, i = 1, m.end()
@@ -171,7 +200,13 @@ def decompose_segment_aggregates(sql: str) -> str:
         inner = sql[m.end() : i - 1]
         fn = m.group(1)
         if fn == "COUNT_S":
-            s, e, si = _split_top_args(inner)
+            args = _split_top_args(inner)
+            if len(args) != 3:
+                raise ValueError(
+                    f"COUNT_S takes (start_ms, end_ms, interval_ms); got "
+                    f"{len(args)} argument(s): COUNT_S({inner})"
+                )
+            s, e, si = args
             out.append(f"SUM((({e}) - ({s})) DIV ({si}) + 1)")
         elif fn == "AVG_S":
             out.append(

@@ -82,12 +82,18 @@ class SegmentFlightServer(flight.FlightServerBase if flight else object):
         host: str = "127.0.0.1",
         port: int = 0,
         spark=None,
+        limit: int = 100_000,
     ):
         _require_flight()
         location = flight.Location.for_grpc_tcp(host, port)
         super().__init__(location)
         self.store_root = store_root
         self.spark = spark
+        #: row cap per do_get result: the Arrow table materializes on
+        #: the driver before streaming, so an uncapped `SELECT * FROM
+        #: data_points` on a big table would OOM the server — same
+        #: discipline as the socket/HTTP modes' --limit
+        self.limit = limit
         self._lock = threading.Lock()
         self.rows_received = 0
 
@@ -114,7 +120,7 @@ class SegmentFlightServer(flight.FlightServerBase if flight else object):
         from modelardb_spark.operators.sqlfunctions import segment_sql
 
         sql = ticket.ticket.decode("utf-8")
-        tbl = segment_sql(self.spark, sql).toArrow()
+        tbl = segment_sql(self.spark, sql).limit(self.limit).toArrow()
         return flight.RecordBatchStream(tbl)
 
     # -- control actions ---------------------------------------------

@@ -327,6 +327,15 @@ def _temp_visible_writer(out_root: str):
     import os
     import shutil
 
+    # Spark writes partition directories with escapePathName applied to
+    # the value (ExternalCatalogUtils: control chars and "#%'*/:=?\{[]^
+    # become %XX): the reconcile delete must target the ESCAPED path or
+    # a conv_id like "a:b" would leave its stale temporaries behind
+    esc = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(1, 32)} | {chr(127)}
+
+    def escape_path(v: str) -> str:
+        return "".join(f"%{ord(ch):02X}" if ch in esc else ch for ch in v)
+
     def write(bdf, batch_id: int) -> None:
         bdf = bdf.persist()
         try:
@@ -343,7 +352,7 @@ def _temp_visible_writer(out_root: str):
             # flush) thereby truncate their stale temporaries — the
             # reference's reconcile-on-finalize
             for (conv,) in bdf.select("conv_id").distinct().collect():
-                d = os.path.join(temp_root, f"conv_id={conv}")
+                d = os.path.join(temp_root, f"conv_id={escape_path(conv)}")
                 if os.path.exists(d):
                     shutil.rmtree(d)
             temp = bdf.where(F.col("temporary")).drop("temporary")

@@ -116,3 +116,56 @@ chunk_days = 64
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert (out / "segments").exists() and (out / "rollup_1d").exists()
+
+
+def test_engine_knobs_reach_query_session_fit(spark, sf_small, tmp_path):
+    """Every [engine] knob governs the on-the-fly fit, not just
+    error_bound: a non-default length_bound visibly changes the fitted
+    segments (regression: prepare_query_session used to rebuild a
+    default EngineConfig)."""
+    conf = load_config(_write(tmp_path, f"""
+[engine]
+length_bound = 3
+
+[query_server]
+events = "{sf_small}/events.parquet"
+"""))
+    seg = prepare_query_session(spark, conf)
+    from pyspark.sql import functions as F
+
+    # with length_bound=3 no dense (Gorilla/raw) segment may exceed 3 points
+    mx = seg.where(F.col("mtid").isin(1, 4)).agg(F.max("n")).first()[0]
+    assert mx is not None and mx <= 3
+
+
+def test_transfer_inherits_ingest_format(spark, sf_small, tmp_path):
+    """[transfer] whose src is this config's own [ingest] output reads
+    it with [ingest]'s format — one declaration drives both jobs."""
+    out = tmp_path / "orc_mdb"
+    cloud = tmp_path / "orc_cloud"
+    conf = load_config(_write(tmp_path, f"""
+[ingest]
+events = "{sf_small}/events.parquet"
+out = "{out}"
+format = "orc"
+
+[transfer]
+src = "{out}"
+dst = "{cloud}"
+"""))
+    run_ingest(spark, conf)
+    m = run_transfer(spark, conf)
+    assert m["days_total"] > 0 and (cloud / "segments").exists()
+
+
+def test_dynamic_split_without_grouped_refuses(tmp_path):
+    import pytest
+
+    conf = load_config(_write(tmp_path, """
+[ingest]
+events = "/x/events.parquet"
+out = "/x/out"
+dynamic_split_fraction = 0.10
+"""))
+    with pytest.raises(ValueError, match="grouped"):
+        run_ingest(None, conf)

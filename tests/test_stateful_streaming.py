@@ -459,3 +459,62 @@ def test_grouped_temporary_segments_union_complete(spark, tmp_path):
         assert ok, "grouped mid-stream union must see every ingested point"
     finally:
         q.stop()
+
+
+def test_temporary_reconcile_with_escaped_conv_id(spark, tmp_path):
+    """Partition-escaped conversation ids (':' becomes %3A in Spark's
+    partition dir name) must still truncate their temporaries on
+    finalize — the reconcile delete targets the escaped path."""
+    import glob
+    import time as _time
+
+    from modelardb_spark.operators.grid import grid
+    from modelardb_spark.streaming.stateful import segments_with_temporary
+
+    conv = "user:42/a"
+    drop1 = [(conv, b * MIN, None) for b in range(6)]
+    # gap closes run 1; sentinel keeps the stream's watermark moving
+    drop2 = [(conv, (20 + b) * MIN, None) for b in range(3)] + [
+        (conv, 10_000 * MIN, None)
+    ]
+    in_dir = str(tmp_path / "edrops")
+    os.makedirs(in_dir)
+    _frame(spark, drop1).coalesce(1).write.parquet(f"{in_dir}/d1.parquet")
+
+    out_root = str(tmp_path / "eout")
+    q = stream_ingest_stateful(
+        spark, f"{in_dir}/*.parquet", out_root, EngineConfig(),
+        max_files_per_trigger=1, emit_temporary=True,
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            if glob.glob(f"{out_root}/temp_segments_stream/conv_id=*/*.parquet"):
+                break
+            _time.sleep(2)
+        _frame(spark, drop2).coalesce(1).write.parquet(f"{in_dir}/d2.parquet")
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if q.exception():
+                raise AssertionError(str(q.exception())[:2000])
+            try:
+                if spark.read.parquet(f"{out_root}/segments_stream").count() >= 2:
+                    break
+            except Exception:
+                pass
+            _time.sleep(2)
+    finally:
+        q.stop()
+    # no stale temporaries: every grid point appears exactly once
+    pts = [
+        (r["conv_id"], r["metric"], r["bin_ms"])
+        for r in grid(segments_with_temporary(spark, out_root)).collect()
+    ]
+    assert len(pts) == len(set(pts)), "stale escaped-path temporaries survived"
+    expected = {
+        (r["conv_id"], r["metric"], r["bin_ms"])
+        for r in derive_series(_frame(spark, drop1 + drop2)).collect()
+    }
+    assert set(pts) == expected

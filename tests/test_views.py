@@ -160,3 +160,26 @@ def test_segment_sugar_expansion(spark):
     assert row["cnt"] == series.count()
     want = series.agg(F.min("value"), F.max("value")).first()
     assert row["vmin"] == want[0] and row["vmax"] == want[1]
+
+
+def test_decompose_skips_literals_and_validates_arity():
+    """The *_S rewrite must leave string literals and -- comments
+    untouched, and refuse a malformed COUNT_S arity with a clear
+    error instead of a bare unpack crash."""
+    import pytest
+
+    from modelardb_spark.operators.sqlfunctions import (
+        decompose_segment_aggregates,
+    )
+
+    sql = "SELECT 'COUNT_S(x)' AS doc, MIN_S(a, b, c, d, e) AS m FROM t"
+    out = decompose_segment_aggregates(sql)
+    assert "'COUNT_S(x)'" in out  # literal untouched
+    assert "MIN(SEG_AGG(a, b, c, d, e).vmin)" in out
+    commented = "SELECT 1 -- COUNT_S(broken\nFROM t"
+    assert decompose_segment_aggregates(commented) == commented
+    with pytest.raises(ValueError, match="COUNT_S takes"):
+        decompose_segment_aggregates("SELECT COUNT_S(a, b) FROM t")
+    # quote-escaped literal ('' inside '...') stays a literal
+    s2 = "SELECT 'it''s SUM_S(x)' FROM t"
+    assert decompose_segment_aggregates(s2) == s2
