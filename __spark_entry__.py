@@ -14,7 +14,7 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 4): 48 queries — 45 with exact DuckDB oracles, 3
+Coverage (round 4): 49 queries — 46 with exact DuckDB oracles, 3
 rows-only (rollup_1h_lossy: lossy VALUES are engine-defined, but its
 per-window COUNTs are oracled via rollup_1h_lossy_counts and its bound
 is hard-checked by the oracled lossy_bound_violations empty-set query;
@@ -402,6 +402,38 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = extract_features(synthetic_media(spark, load_documents(spark, sf_dir)))
     return feats.select("media_id", "kind", "n_bytes", "sha_prefix")
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode: documents are encoded into valid
+    containers (grayscale PNG / PCM-16 WAV, pure-stdlib codecs) and
+    decoded back in a map-only distributed stage; the oracle recomputes
+    the container geometry arithmetically. Pixel/sample content checks
+    live in tests/test_traindata_ops.py (byte-level math is not
+    SQL-expressible); video stays NULL — the honest externally-coded
+    boundary."""
+    from modelardb_spark.operators.multimodal import (
+        media_decode,
+        synthetic_media_encoded,
+    )
+    from modelardb_spark.operators.textstats import load_documents
+
+    m = synthetic_media_encoded(spark, load_documents(spark, sf_dir))
+    d = media_decode(m)
+    # -1 sentinels instead of NULL: mixed-type NULL columns are
+    # hash-compare hazards in the driver's value check
+    return d.select(
+        "media_id",
+        "kind",
+        F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
+        F.coalesce(F.col("height").cast("long"), F.lit(-1)).alias("height"),
+        F.coalesce(F.col("sample_rate").cast("long"), F.lit(-1)).alias(
+            "sample_rate"
+        ),
+        F.coalesce(F.col("n_samples").cast("long"), F.lit(-1)).alias(
+            "n_samples"
+        ),
+    )
 
 
 def _q_hour_of_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,6 +1310,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
+        "media_decode": _q_media_decode,
     }
 
 
@@ -1696,6 +1729,15 @@ SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        octet_length(encode(text)) AS n_bytes,
        substr(sha256(text), 1, 16) AS sha_prefix
+FROM documents
+""",
+        "media_decode": """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 8 ELSE -1 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 32 + 8 ELSE -1 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE -1 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) ELSE -1 END AS BIGINT) AS n_samples
 FROM documents
 """,
     }

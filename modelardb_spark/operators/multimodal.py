@@ -125,3 +125,197 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real container codecs (pure stdlib: zlib + struct): PNG grayscale and
+# PCM-16 WAV are fully encodable/decodable without external libraries,
+# so the engine's multimodal path is REAL end-to-end for these formats
+# — binary in, distributed header parse + pixel/sample decode, features
+# out. Only formats that genuinely need codec libraries (JPEG decode,
+# MP4/video) remain behind `decode_stub`.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Minimal valid grayscale 8-bit PNG (signature, IHDR, one IDAT
+    with filter-0 scanlines, IEND; correct CRCs). Any PNG reader can
+    open the output."""
+    h, w = pixels.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode a filter-0 grayscale PNG back to its pixel matrix."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, None, None, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = [
+        np.frombuffer(raw[r * (w + 1) + 1 : (r + 1) * (w + 1)], dtype=np.uint8)
+        for r in range(h)
+    ]
+    return np.stack(rows)
+
+
+def parse_png_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR — the header-only fast path a
+    metadata scan uses (no pixel decompression)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    return struct.unpack(">II", data[16:24])
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal valid mono PCM-16 WAV (RIFF/fmt/data)."""
+    body = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, samples) from a mono PCM-16 WAV."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    rate, samples = None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            rate = struct.unpack("<I", body[4:8])[0]
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln
+    return rate, samples
+
+
+def synthetic_media_encoded(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Media table with REAL container payloads derived from the
+    documents: images are valid grayscale PNGs (text bytes tiled into
+    a (h, w) grid), audio is valid PCM-16 WAV (one sample per text
+    byte), video stays an opaque fake (no stdlib container). Encoding
+    is itself a map-only mapInPandas stage — at scale this is the
+    write half of the same binary-column pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "mime", "payload",
+                                    "width", "height", "duration_ms")}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
+                kind = ("image", "audio", "video")[did % 3]
+                if kind == "image":
+                    w, h = did % 48 + 8, did % 32 + 8
+                    px = np.resize(b if b.size else np.zeros(1, np.uint8), (h, w))
+                    payload, mime = encode_png_gray(px), "image/png"
+                    dur = None
+                elif kind == "audio":
+                    samples = (b.astype(np.int16) - 128) * 256
+                    payload, mime = encode_wav_pcm16(samples, 8000), "audio/wav"
+                    w = h = None
+                    dur = int(round(samples.size * 1000 / 8000))
+                else:
+                    payload, mime = str(text).encode("utf-8"), "video/x-fake"
+                    w = h = None
+                    dur = did * 40 % 60_000
+                rows["media_id"].append(did)
+                rows["kind"].append(kind)
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+                rows["width"].append(w if kind == "image" else None)
+                rows["height"].append(h if kind == "image" else None)
+                rows["duration_ms"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("content_mean", FloatType(), True),
+    ]
+)
+
+
+def media_decode(media: DataFrame) -> DataFrame:
+    """REAL distributed decode over the binary column: PNG headers +
+    pixels and WAV headers + samples parse in a map-only mapInPandas
+    stage (payloads never shuffle; only the small decoded-metadata
+    frame leaves the stage). Video rows pass through with NULLs — the
+    honest boundary where an external codec would plug in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "width", "height",
+                                   "sample_rate", "n_samples", "content_mean")}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                w = h = rate = n = mean = None
+                if kind == "image":
+                    w, h = parse_png_header(data)
+                    px = decode_png_gray(data)
+                    mean = float(np.round(px.astype(np.float64).mean(), 4))
+                elif kind == "audio":
+                    rate, samples = decode_wav_pcm16(data)
+                    n = int(samples.size)
+                    mean = (
+                        float(np.round(samples.astype(np.float64).mean(), 4))
+                        if n
+                        else None
+                    )
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["content_mean"].append(mean)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, DECODE_SCHEMA)
