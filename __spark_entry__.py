@@ -422,17 +422,18 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = media_decode(m)
     # -1 sentinels instead of NULL: mixed-type NULL columns are
     # hash-compare hazards in the driver's value check
+    def _s(c):
+        return F.coalesce(F.col(c).cast("long"), F.lit(-1)).alias(c)
+
     return d.select(
         "media_id",
         "kind",
-        F.coalesce(F.col("width").cast("long"), F.lit(-1)).alias("width"),
-        F.coalesce(F.col("height").cast("long"), F.lit(-1)).alias("height"),
-        F.coalesce(F.col("sample_rate").cast("long"), F.lit(-1)).alias(
-            "sample_rate"
-        ),
-        F.coalesce(F.col("n_samples").cast("long"), F.lit(-1)).alias(
-            "n_samples"
-        ),
+        _s("width"),
+        _s("height"),
+        _s("sample_rate"),
+        _s("n_samples"),
+        _s("n_frames"),
+        _s("duration_ms"),
     )
 
 
@@ -1734,10 +1735,17 @@ FROM documents
         "media_decode": """
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 8 ELSE -1 END AS BIGINT) AS width,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 32 + 8 ELSE -1 END AS BIGINT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 48 + 8
+                            WHEN 2 THEN doc_id % 8 + 4 ELSE -1 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 8
+                            WHEN 2 THEN doc_id % 6 + 4 ELSE -1 END AS BIGINT) AS height,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE -1 END AS BIGINT) AS sample_rate,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) ELSE -1 END AS BIGINT) AS n_samples
+       CAST(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(text)) ELSE -1 END AS BIGINT) AS n_samples,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 + 1 ELSE -1 END AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 3
+            WHEN 1 THEN (octet_length(encode(text)) * 1000) // 8000
+            WHEN 2 THEN ((doc_id % 5 + 1) * 1000) // 4
+            ELSE -1 END AS BIGINT) AS duration_ms
 FROM documents
 """,
     }

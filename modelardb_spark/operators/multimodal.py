@@ -253,15 +253,24 @@ def synthetic_media_encoded(spark: SparkSession, docs: DataFrame) -> DataFrame:
                     w = h = None
                     dur = int(round(samples.size * 1000 / 8000))
                 else:
-                    payload, mime = str(text).encode("utf-8"), "video/x-fake"
-                    w = h = None
-                    dur = did * 40 % 60_000
+                    # REAL multi-frame container (MDBV of PNG frames)
+                    fh, fw = did % 6 + 4, did % 8 + 4
+                    n_frames = did % 5 + 1
+                    base = b if b.size else np.zeros(1, np.uint8)
+                    frames = [
+                        np.resize(base + np.uint8(i), (fh, fw))
+                        for i in range(n_frames)
+                    ]
+                    payload = encode_video_png_frames(frames, fps=4)
+                    mime = "video/x-mdbv-png"
+                    w, h = fw, fh
+                    dur = n_frames * 1000 // 4
                 rows["media_id"].append(did)
                 rows["kind"].append(kind)
                 rows["mime"].append(mime)
                 rows["payload"].append(payload)
-                rows["width"].append(w if kind == "image" else None)
-                rows["height"].append(h if kind == "image" else None)
+                rows["width"].append(w if kind in ("image", "video") else None)
+                rows["height"].append(h if kind in ("image", "video") else None)
                 rows["duration_ms"].append(dur)
             yield pd.DataFrame(rows)
 
@@ -276,6 +285,8 @@ DECODE_SCHEMA = StructType(
         StructField("height", LongType(), True),
         StructField("sample_rate", LongType(), True),
         StructField("n_samples", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
         StructField("content_mean", FloatType(), True),
     ]
 )
@@ -291,12 +302,13 @@ def media_decode(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "kind", "width", "height",
-                                   "sample_rate", "n_samples", "content_mean")}
+                                   "sample_rate", "n_samples", "n_frames",
+                                   "duration_ms", "content_mean")}
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 data = bytes(payload)
-                w = h = rate = n = mean = None
+                w = h = rate = n = nf = dur = mean = None
                 if kind == "image":
                     w, h = parse_png_header(data)
                     px = decode_png_gray(data)
@@ -304,18 +316,110 @@ def media_decode(media: DataFrame) -> DataFrame:
                 elif kind == "audio":
                     rate, samples = decode_wav_pcm16(data)
                     n = int(samples.size)
+                    dur = n * 1000 // rate if rate else None
                     mean = (
                         float(np.round(samples.astype(np.float64).mean(), 4))
                         if n
                         else None
                     )
+                elif kind == "video" and data[:4] == _VIDEO_MAGIC:
+                    nf, fps, _ = parse_video_header(data)
+                    dur = nf * 1000 // fps if fps else None
+                    px = decode_video_frame(data, 0)
+                    h, w = px.shape
+                    mean = float(np.round(px.astype(np.float64).mean(), 4))
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(n)
+                out["n_frames"].append(nf)
+                out["duration_ms"].append(dur)
                 out["content_mean"].append(mean)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, DECODE_SCHEMA)
+
+
+# -- video: a real multi-frame container over the PNG codec -----------
+#
+# No stdlib video codec exists, so "video" uses a transparent container
+# of length-prefixed PNG frames (magic MDBV, frame count, fps). It is
+# genuinely demuxable/decodable — the full pipeline shape (demux ->
+# frame select -> decode) executes for real — while H.264/MP4 remain
+# the documented external-codec boundary (`decode_stub`).
+
+_VIDEO_MAGIC = b"MDBV"
+
+
+def encode_video_png_frames(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Container: MDBV | u32 n_frames | u32 fps | (u32 len | PNG)*"""
+    out = [_VIDEO_MAGIC, struct.pack("<II", len(frames), fps)]
+    for f in frames:
+        png = encode_png_gray(f)
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def parse_video_header(data: bytes) -> tuple[int, int, int]:
+    """(n_frames, fps, duration_ms) without touching frame bytes."""
+    if data[:4] != _VIDEO_MAGIC:
+        raise ValueError("not an MDBV container")
+    n, fps = struct.unpack("<II", data[4:12])
+    return n, fps, int(round(n * 1000 / fps)) if fps else 0
+
+
+def decode_video_frame(data: bytes, index: int) -> np.ndarray:
+    """Demux + decode ONE frame — the random-access path frame
+    sampling uses (only the selected frame's bytes decompress)."""
+    n, _fps = struct.unpack("<II", data[4:12])
+    if not 0 <= index < n:
+        raise IndexError(index)
+    pos = 12
+    for i in range(n):
+        (ln,) = struct.unpack("<I", data[pos : pos + 4])
+        if i == index:
+            return decode_png_gray(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    raise ValueError("truncated container")
+
+
+def frame_sample_decode(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: for each video, pick the frame at each
+    sample timestamp and decode it — map-only, only sampled frames
+    decompress. Returns (media_id, frame_ms, frame_index, px_mean)."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_ms", LongType(), False),
+            StructField("frame_index", LongType(), False),
+            StructField("px_mean", FloatType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_ms", "frame_index", "px_mean")}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                data = bytes(payload)
+                n, fps, dur = parse_video_header(data)
+                if not n:
+                    continue
+                for t in range(0, dur + 1, every_ms):
+                    idx = min(n - 1, int(t * fps / 1000))
+                    px = decode_video_frame(data, idx)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_ms"].append(t)
+                    rows["frame_index"].append(idx)
+                    rows["px_mean"].append(
+                        float(np.round(px.astype(np.float64).mean(), 4))
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, out_schema)

@@ -345,4 +345,45 @@ def test_media_codecs_round_trip_distributed(spark, sf_small):
             if samples.size:
                 assert abs(g["content_mean"] - samples.astype(float).mean()) < 1e-2
         else:
-            assert g["width"] is None and g["sample_rate"] is None
+            from modelardb_spark.operators.multimodal import (
+                decode_video_frame,
+                parse_video_header,
+            )
+
+            n, fps, _ = parse_video_header(data)
+            assert g["n_frames"] == n and g["duration_ms"] == n * 1000 // fps
+            f0 = decode_video_frame(data, 0)
+            assert (g["height"], g["width"]) == f0.shape
+            assert abs(g["content_mean"] - f0.astype(float).mean()) < 1e-3
+            assert g["sample_rate"] is None
+
+
+def test_video_frame_sampling_decodes_real_frames(spark, sf_small):
+    """frame_sample_decode demuxes and decodes exactly the sampled
+    frames; the per-frame pixel means match a local decode of the same
+    indexes."""
+    import numpy as np
+
+    from modelardb_spark.operators.multimodal import (
+        decode_video_frame,
+        frame_sample_decode,
+        parse_video_header,
+        synthetic_media_encoded,
+    )
+    from modelardb_spark.operators.textstats import load_documents
+
+    docs = load_documents(spark, sf_small).limit(30)
+    media = synthetic_media_encoded(spark, docs).cache()
+    got = frame_sample_decode(media, every_ms=250).collect()
+    assert got
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind = 'video'").collect()
+    }
+    for r in got:
+        data = payloads[r["media_id"]]
+        n, fps, dur = parse_video_header(data)
+        idx = min(n - 1, int(r["frame_ms"] * fps / 1000))
+        assert r["frame_index"] == idx
+        px = decode_video_frame(data, idx)
+        assert abs(r["px_mean"] - px.astype(float).mean()) < 1e-3
