@@ -212,9 +212,22 @@ def main() -> None:
     dt = min(dt1, dt2)
     queries, queries_best, rounds = sf_queries(spark)
     spark.stop()
+    # apples-to-apples across rounds: the round-3 bench covered 45
+    # queries; later rounds add more, so the headline `value` (all
+    # queries) is not directly comparable — `queries_r3_basis_sec`
+    # sums only the round-3 roster
+    r4_new = {
+        "rollup_1h_lossy_counts", "compression_points",
+        "group_compression_points", "media_decode",
+    }
+    r3_basis = round(
+        sum(v for k, v in queries.items() if k not in r4_new), 2
+    )
     result = json.dumps({
         "metric": "turns/sec ingested-to-rolled-up (synthetic transcripts, full pipeline)",
         "value": round(dt + sum(queries.values()), 2),
+        "queries_r3_basis_sec": r3_basis,
+        "queries_new_this_round": sorted(r4_new & set(queries)),
         "unit": "sec",
         "queries": queries,  # medians over query_rounds runs
         "queries_best": queries_best,

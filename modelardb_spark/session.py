@@ -25,6 +25,10 @@ ENGINE_CONF: dict[str, str] = {
     # keep Arrow batches large enough to amortize per-batch Python cost
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.compression.codec": "zstd",
+    # \r-terminated console progress fragments interleave with real
+    # stdout lines and can clip captured output mid-line (this lost a
+    # benchmark record once); no console bars anywhere in the engine
+    "spark.ui.showConsoleProgress": "false",
     # Spark 4.1's ChecksumCheckpointFileManager awaits an async checksum
     # write that never completes for applyInPandasWithState's state
     # store on local filesystems — commits hang indefinitely. Checksums
