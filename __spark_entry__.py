@@ -14,7 +14,7 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 4): 49 queries — 46 with exact DuckDB oracles, 3
+Coverage (round 4): 50 queries — 47 with exact DuckDB oracles, 3
 rows-only (rollup_1h_lossy: lossy VALUES are engine-defined, but its
 per-window COUNTs are oracled via rollup_1h_lossy_counts and its bound
 is hard-checked by the oracled lossy_bound_violations empty-set query;
@@ -402,6 +402,31 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feats = extract_features(synthetic_media(spark, load_documents(spark, sf_dir)))
     return feats.select("media_id", "kind", "n_bytes", "sha_prefix")
+
+
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (kdb aj / DuckDB ASOF JOIN): every event picks the
+    user's most recent purchase at or before it — the union-tag +
+    single-window formulation (operators/asof.py), one shuffle, no
+    join explosion; the oracle is DuckDB's NATIVE ASOF LEFT JOIN."""
+    from modelardb_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "conv_id", F.col("ts_ms").alias("p_ms")
+    )
+    j = asof_join(ev, purchases, ["conv_id"], "ts_ms", "p_ms", [])
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "conv_id",
+        "ts_ms",
+        F.coalesce(F.col("p_ms_asof"), F.lit(-1)).alias("last_purchase_ms"),
+    )
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,6 +1337,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ivf_topk": _q_ivf_topk,
         "multimodal_features": _q_multimodal_features,
         "media_decode": _q_media_decode,
+        "asof_last_purchase": _q_asof_last_purchase,
     }
 
 
@@ -1747,5 +1773,15 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
             WHEN 2 THEN ((doc_id % 5 + 1) * 1000) // 4
             ELSE -1 END AS BIGINT) AS duration_ms
 FROM documents
+""",
+        "asof_last_purchase": """
+WITH ev AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS conv_id,
+         epoch_ms(ts) AS ts_ms, event_type
+  FROM events
+), p AS (SELECT conv_id, ts_ms AS p_ms FROM ev WHERE event_type = 'purchase')
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.conv_id, e.ts_ms,
+       COALESCE(p.p_ms, -1) AS last_purchase_ms
+FROM ev e ASOF LEFT JOIN p ON e.conv_id = p.conv_id AND e.ts_ms >= p.p_ms
 """,
     }

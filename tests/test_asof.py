@@ -1,0 +1,113 @@
+"""AS-OF join operator: inclusive/strict/tolerance semantics against
+hand-computed expectations, and the single-shuffle plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modelardb_spark.operators.asof import asof_join
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [("a", 5, "l1"), ("a", 9, "l2"), ("a", 4, "l0"), ("b", 3, "l3")],
+        "k string, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [("a", 4, 100.0), ("a", 9, 200.0), ("b", 7, 300.0)],
+        "k string, rt long, v double",
+    )
+    return left, right
+
+
+def test_asof_inclusive_semantics(spark):
+    left, right = _fixture(spark)
+    out = {
+        r["name"]: (r["rt_asof"], r["v_asof"])
+        for r in asof_join(left, right, ["k"], "t", "rt", ["v"]).collect()
+    }
+    assert out == {
+        "l0": (4, 100.0),   # equal timestamp matches (inclusive)
+        "l1": (4, 100.0),
+        "l2": (9, 200.0),
+        "l3": (None, None),  # right row is in the future
+    }
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left, right = _fixture(spark)
+    out = {
+        r["name"]: r["rt_asof"]
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["v"], strict=True
+        ).collect()
+    }
+    assert out["l0"] is None        # 4 < 4 fails strictly
+    assert out["l2"] == 4           # 9 -> the strictly-earlier 4
+    assert out["l1"] == 4
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    left, right = _fixture(spark)
+    out = {
+        r["name"]: r["v_asof"]
+        for r in asof_join(
+            left, right, ["k"], "t", "rt", ["v"], tolerance_ms=1
+        ).collect()
+    }
+    assert out["l0"] == 100.0       # age 0
+    assert out["l1"] == 100.0       # age 1 == tolerance
+    assert out["l2"] == 200.0       # age 0
+    assert out["l3"] is None
+
+
+def test_asof_plan_is_single_exchange_window(spark):
+    """One shuffle, one window sort — no join node, no explosion."""
+    left, right = _fixture(spark)
+    df = asof_join(left, right, ["k"], "t", "rt", ["v"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_asof_matches_duckdb_on_events(spark, sf_small):
+    """Cross-engine: the union-tag window formulation equals DuckDB's
+    native ASOF LEFT JOIN on the events table."""
+    import duckdb
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "event_type",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "conv_id", F.col("ts_ms").alias("p_ms")
+    )
+    j = asof_join(ev, purchases, ["conv_id"], "ts_ms", "p_ms", [])
+    got = sorted(
+        (r["event_id"], r["conv_id"], r["ts_ms"], r["p_ms_asof"])
+        for r in j.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_small}/events.parquet'"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH ev AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS conv_id,
+         epoch_ms(ts) AS ts_ms, event_type
+  FROM events
+), p AS (SELECT conv_id, ts_ms AS p_ms FROM ev WHERE event_type = 'purchase')
+SELECT e.event_id, e.conv_id, e.ts_ms, p.p_ms
+FROM ev e ASOF LEFT JOIN p ON e.conv_id = p.conv_id AND e.ts_ms >= p.p_ms
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == want
