@@ -14,7 +14,7 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 4): 50 queries — 47 with exact DuckDB oracles, 3
+Coverage (round 4): 52 queries — 49 with exact DuckDB oracles, 3
 rows-only (rollup_1h_lossy: lossy VALUES are engine-defined, but its
 per-window COUNTs are oracled via rollup_1h_lossy_counts and its bound
 is hard-checked by the oracled lossy_bound_violations empty-set query;
@@ -426,6 +426,62 @@ def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "ts_ms",
         F.coalesce(F.col("p_ms_asof"), F.lit(-1)).alias("last_purchase_ms"),
+    )
+
+
+def _events_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+
+
+_SESSION_GAP_MS = 1_800_000  # 30 min
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/timeops.py): one window pass
+    splits each conversation at >30-min idle gaps; per-session
+    count/start/end. Duplicate-timestamp ties share a session, so the
+    result is engine-order independent."""
+    from modelardb_spark.operators.timeops import session_intervals
+
+    s = session_intervals(
+        _events_ms(spark, sf_dir).drop("event_id"),
+        ["conv_id"], "ts_ms", _SESSION_GAP_MS,
+    )
+    return s.select(
+        "conv_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "start_ms",
+        "end_ms",
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+def _q_session_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (operators/timeops.py): every event
+    joins back into its enclosing session interval via an equi-join on
+    (conv_id, day bucket) + exact BETWEEN — no cross product, each
+    point matches exactly once even when a session spans buckets."""
+    from modelardb_spark.operators.timeops import (
+        interval_join,
+        session_intervals,
+    )
+
+    ev = _events_ms(spark, sf_dir)
+    ivs = session_intervals(
+        ev.drop("event_id"), ["conv_id"], "ts_ms", _SESSION_GAP_MS
+    ).select("conv_id", "session_idx", "start_ms", "end_ms")
+    j = interval_join(ev, ivs, ["conv_id"], "ts_ms", "start_ms", "end_ms")
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "conv_id",
+        "ts_ms",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "start_ms",
+        "end_ms",
     )
 
 
@@ -1136,6 +1192,27 @@ _SQL_COSINE = (
 )
 
 
+#: shared sessionization CTE (timeops.sessionize semantics: 1-based
+#: running sum of >gap breaks per conversation; duplicate-ts ties are
+#: gap 0, so the assignment is engine-order independent)
+_SQL_SESSIONS = """
+WITH ev_s AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, epoch_ms(ts) AS ts_ms FROM events
+), g AS (
+  SELECT conv_id, ts_ms,
+         CASE WHEN LAG(ts_ms) OVER w IS NULL
+                   OR ts_ms - LAG(ts_ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev_s WINDOW w AS (PARTITION BY conv_id ORDER BY ts_ms)
+), sessions AS (
+  SELECT conv_id, ts_ms,
+         CAST(SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts_ms
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM g
+)
+"""
+
+
 def _sql_ivf_trained_cents(n_cells: int, iters: int, quant: int = 1000) -> str:
     """CTE chain reproducing `similarity.ivf_train` in DuckDB: md5
     seeds as iteration 0, then `iters` unrolled Lloyd rounds of
@@ -1338,6 +1415,8 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_features": _q_multimodal_features,
         "media_decode": _q_media_decode,
         "asof_last_purchase": _q_asof_last_purchase,
+        "session_stats": _q_session_stats,
+        "session_lookup": _q_session_lookup,
     }
 
 
@@ -1783,5 +1862,24 @@ WITH ev AS (
 SELECT CAST(e.event_id AS BIGINT) AS event_id, e.conv_id, e.ts_ms,
        COALESCE(p.p_ms, -1) AS last_purchase_ms
 FROM ev e ASOF LEFT JOIN p ON e.conv_id = p.conv_id AND e.ts_ms >= p.p_ms
+""",
+        "session_stats": _SQL_SESSIONS
+        + """
+SELECT conv_id, session_idx, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+       COUNT(*) AS n_rows
+FROM sessions GROUP BY 1, 2
+""",
+        "session_lookup": _SQL_SESSIONS
+        + """,
+ivs AS (
+  SELECT conv_id, session_idx, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms
+  FROM sessions GROUP BY 1, 2
+)
+SELECT CAST(e.event_id AS BIGINT) AS event_id, e.conv_id, e.ts_ms,
+       i.session_idx, i.start_ms, i.end_ms
+FROM (SELECT event_id, CAST(user_id AS VARCHAR) AS conv_id,
+             epoch_ms(ts) AS ts_ms FROM events) e
+JOIN ivs i
+  ON e.conv_id = i.conv_id AND e.ts_ms BETWEEN i.start_ms AND i.end_ms
 """,
     }
