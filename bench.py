@@ -219,6 +219,7 @@ def main() -> None:
     r4_new = {
         "rollup_1h_lossy_counts", "compression_points",
         "group_compression_points", "media_decode",
+        "asof_last_purchase", "session_stats", "session_lookup",
     }
     r3_basis = round(
         sum(v for k, v in queries.items() if k not in r4_new), 2
