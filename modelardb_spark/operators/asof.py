@@ -16,12 +16,13 @@ order makes the join INCLUSIVE (a right row at exactly t matches a
 left row at t); `strict=True` flips the tag order for the exclusive
 (<) variant.
 
-Skew note: a key's full history sorts in one task. Per-conversation
-histories are bounded in this data model (the fit path salts by day
-for the same reason); for unbounded keys the production pattern is a
-two-pass day-bucketed carry-forward (per-day last + cumulative
-boundary), which this module intentionally leaves to the caller — the
-single-window form is exact and is what the oracle checks.
+Skew note: a key's full history sorts in one task in `asof_join`.
+Per-conversation histories are bounded in this data model (the fit
+path salts by day for the same reason); for UNBOUNDED keys use
+`asof_join_bucketed` — the two-pass bucketed carry-forward: per-(key,
+bucket) windows (task size bounded by the bucket width) plus a tiny
+per-(key, bucket) boundary frame carrying the last right value across
+buckets. Same results, proven equivalent by test.
 """
 
 from __future__ import annotations
@@ -96,3 +97,83 @@ def asof_join(
                 F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
             )
     return out.drop("_asof_t")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    bucket_ms: int = 86_400_000,
+    tolerance_ms: int | None = None,
+    strict: bool = False,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """`asof_join` for UNBOUNDED per-key histories: identical results,
+    but no task ever sorts a key's full history. Two passes:
+
+    1. in-bucket: the union-tag window runs partitioned by
+       (keys..., bucket) — task size bounded by the bucket width;
+    2. carry-in: right rows reduce to ONE boundary row per
+       (key, bucket) (the bucket's last value); a per-key window over
+       this tiny frame carries the latest boundary into each later
+       left bucket, and rows unmatched in-bucket coalesce to it.
+
+    The carry-in join keys on (keys..., bucket) — the same partitioning
+    as pass 1, so it co-locates. Right-side ties on (key, ts) resolve
+    arbitrarily in both forms (kdb aj semantics: last row wins)."""
+    carried = [right_ts] + [c for c in value_cols if c != right_ts]
+    bkt = lambda c: (F.col(c).cast("long") / bucket_ms).cast("long")  # noqa: E731
+
+    # pass 1: exact as-of WITHIN each (key, bucket)
+    lb = left.withColumn("_ab", bkt(left_ts))
+    rb = right.withColumn("_ab", bkt(right_ts))
+    inbucket = asof_join(
+        lb, rb, on + ["_ab"], left_ts, right_ts, value_cols,
+        strict=strict, suffix=suffix,
+    )
+
+    # pass 2: per-(key, bucket) boundary rows -> carry-in per left bucket
+    boundary = rb.groupBy(*on, "_ab").agg(
+        *[F.max_by(c, F.col(right_ts)).alias(f"_cin_{c}") for c in carried]
+    )
+    # a bucket's boundary becomes visible from the NEXT bucket on
+    # (in-bucket rows of the same bucket are pass 1's job)
+    b_vis = boundary.select(
+        *on, (F.col("_ab") + 1).alias("_ob"),
+        *[f"_cin_{c}" for c in carried],
+    ).withColumn("_btag", F.lit(0))
+    l_keys = lb.select(*on, F.col("_ab").alias("_ob")).distinct().withColumn(
+        "_btag", F.lit(1)
+    )
+    u = l_keys.unionByName(b_vis, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ob", "_btag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(f"_cin_{c}", F.last(f"_cin_{c}", ignorenulls=True).over(w))
+    carry = u.where(F.col("_btag") == 1).select(
+        *on, F.col("_ob").alias("_ab"), *[f"_cin_{c}" for c in carried]
+    )
+
+    out = inbucket.join(carry, on + ["_ab"], "left")
+    for c in carried:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_cin_{c}")),
+        ).drop(f"_cin_{c}")
+    if tolerance_ms is not None:
+        stale = (
+            F.col(left_ts).cast("long") - F.col(f"{right_ts}{suffix}")
+            > tolerance_ms
+        )
+        for c in carried:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+            )
+    return out.drop("_ab")

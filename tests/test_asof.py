@@ -111,3 +111,65 @@ FROM ev e ASOF LEFT JOIN p ON e.conv_id = p.conv_id AND e.ts_ms >= p.p_ms
         )
     )
     assert got == want
+
+
+def test_bucketed_asof_equals_single_window(spark):
+    """The skew-proof two-pass form must produce exactly the single-
+    window results for every (strict, tolerance) combination — random
+    data, unique timestamps per key, buckets much smaller than the
+    time range so carry-in paths are exercised hard."""
+    import random
+
+    from modelardb_spark.operators.asof import asof_join_bucketed
+
+    rng = random.Random(11)
+    keys = ["a", "b", "c"]
+    lts = {k: rng.sample(range(0, 5000), 120) for k in keys}
+    rts = {k: rng.sample(range(-50, 4800), 40) for k in keys}
+    left = spark.createDataFrame(
+        [(k, t, f"{k}{t}") for k in keys for t in lts[k]],
+        "k string, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t * 2)) for k in keys for t in rts[k]],
+        "k string, rt long, v double",
+    )
+    for strict in (False, True):
+        for tol in (None, 300):
+            a = sorted(
+                map(
+                    tuple,
+                    asof_join(
+                        left, right, ["k"], "t", "rt", ["v"],
+                        strict=strict, tolerance_ms=tol,
+                    ).select("k", "t", "rt_asof", "v_asof").collect(),
+                )
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    asof_join_bucketed(
+                        left, right, ["k"], "t", "rt", ["v"],
+                        bucket_ms=250, strict=strict, tolerance_ms=tol,
+                    ).select("k", "t", "rt_asof", "v_asof").collect(),
+                )
+            )
+            assert a == b, (strict, tol)
+
+
+def test_bucketed_asof_windows_are_bucket_partitioned(spark):
+    """The in-bucket window must partition by (key, bucket), never by
+    the bare key — that is the whole point of the two-pass form."""
+    from modelardb_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([("k", 5, "x")], "k string, t long, name string")
+    right = spark.createDataFrame([("k", 3, 1.0)], "k string, rt long, v double")
+    df = asof_join_bucketed(left, right, ["k"], "t", "rt", ["v"], bucket_ms=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # at least one window keyed by (k, _ab); none keyed by k alone with
+    # the row-level timestamp ordering
+    assert any("_ab" in s for s in specs), specs
