@@ -367,6 +367,7 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_ND_BITS,
         tables=_ND_TABLES,
         seed=_LSH_SEED,
+        dim=64,
     )
 
 
@@ -375,7 +376,7 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_embeddings(spark, sf_dir)
     _assert_oracle_dim(emb)
-    return lsh_topk(emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED)
+    return lsh_topk(emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED, dim=64)
 
 
 #: IVF parameters shared by the Spark query and its SQL oracle

@@ -119,7 +119,11 @@ def transfer_segments(
     the cloud catalog at `dst_root`; returns metrics. Resumable
     (per-day checkpoints at the destination), idempotent (per-key
     dedup against destination partitions), crash-safe
-    (`fail_after_chunks` injects a crash for the resume tests)."""
+    (`fail_after_chunks` injects a crash for the resume tests).
+
+    Checkpoint metrics note: `rows_out` per day is exact; `rows_in` and
+    `wall_ms` are chunk totals averaged across the chunk's days —
+    approximate per-day attribution, exact in aggregate."""
     dedup_keys = dedup_keys or SEGMENT_KEYS
     src = TableCatalog(src_root, src_fmt)
     dst = TableCatalog(dst_root, dst_fmt)
@@ -150,6 +154,10 @@ def transfer_segments(
         incoming = incoming.persist()
         rows_in = incoming.count()
 
+        # intra-source dedup runs UNCONDITIONALLY: a source partition
+        # carrying duplicate keys must land exactly once at the cloud
+        # whether or not the destination table already exists
+        deduped = incoming.dropDuplicates(dedup_keys)
         if dst.exists(table):
             existing = dst.read(spark, table).where(
                 F.col("part_day").isin(chunk_days_list)
@@ -158,12 +166,12 @@ def transfer_segments(
             # keys are kept; only genuinely new segments append. The
             # join is per-partition (both sides pruned to the chunk's
             # days) so its size is bounded by the chunk, not the table.
-            fresh = incoming.join(
+            fresh = deduped.join(
                 existing.select(*dedup_keys), dedup_keys, "left_anti"
             )
             merged = existing.unionByName(fresh)
         else:
-            merged = incoming.dropDuplicates(dedup_keys)
+            merged = deduped
         merged = merged.persist()
         rows_out = merged.count()
         # dynamic overwrite replaces exactly this chunk's partitions;

@@ -56,10 +56,15 @@ def asof_join(
     # right rows sort before equal-timestamp left rows for inclusive
     # semantics; after them for strict
     r_tag, l_tag = (0, 1) if not strict else (1, 0)
+    # the matched right row travels as ONE struct: carrying each column
+    # independently would resurrect an OLDER row's value wherever the
+    # matched row holds a NULL (row semantics, like DuckDB/kdb ASOF)
     r = right.select(
         *on,
         F.col(right_ts).cast("long").alias("_asof_t"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in carried],
+        F.struct(
+            *[F.col(c).alias(f"{c}{suffix}") for c in carried]
+        ).alias("_asof_row"),
     ).withColumn("_asof_tag", F.lit(r_tag))
     l = left.withColumn("_asof_t", F.col(left_ts).cast("long")).withColumn(
         "_asof_tag", F.lit(l_tag)
@@ -75,7 +80,7 @@ def asof_join(
             ],
             "_asof_t",
             "_asof_tag",
-            *[f"{c}{suffix}" for c in carried],
+            "_asof_row",
         ),
         allowMissingColumns=True,
     )
@@ -84,11 +89,11 @@ def asof_join(
         .orderBy("_asof_t", "_asof_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_asof_row", F.last("_asof_row", ignorenulls=True).over(w))
     out = u.where(F.col("_asof_tag") == l_tag).drop("_asof_tag")
+    for c in carried:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_asof_row.{c}{suffix}"))
+    out = out.drop("_asof_row")
     if tolerance_ms is not None:
         stale = F.col("_asof_t") - F.col(f"{right_ts}{suffix}") > tolerance_ms
         for c in carried:
@@ -135,15 +140,20 @@ def asof_join_bucketed(
         strict=strict, suffix=suffix,
     )
 
-    # pass 2: per-(key, bucket) boundary rows -> carry-in per left bucket
+    # pass 2: per-(key, bucket) boundary rows -> carry-in per left
+    # bucket. The boundary is ONE struct per bucket (max_by on a struct
+    # of all carried columns), so tied right rows cannot mix values
+    # across columns, and the carry-forward moves whole rows.
     boundary = rb.groupBy(*on, "_ab").agg(
-        *[F.max_by(c, F.col(right_ts)).alias(f"_cin_{c}") for c in carried]
+        F.max_by(
+            F.struct(*[F.col(c).alias(f"_cin_{c}") for c in carried]),
+            F.col(right_ts),
+        ).alias("_cin_row")
     )
     # a bucket's boundary becomes visible from the NEXT bucket on
     # (in-bucket rows of the same bucket are pass 1's job)
     b_vis = boundary.select(
-        *on, (F.col("_ab") + 1).alias("_ob"),
-        *[f"_cin_{c}" for c in carried],
+        *on, (F.col("_ab") + 1).alias("_ob"), "_cin_row"
     ).withColumn("_btag", F.lit(0))
     l_keys = lb.select(*on, F.col("_ab").alias("_ob")).distinct().withColumn(
         "_btag", F.lit(1)
@@ -154,18 +164,31 @@ def asof_join_bucketed(
         .orderBy("_ob", "_btag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        u = u.withColumn(f"_cin_{c}", F.last(f"_cin_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_cin_row", F.last("_cin_row", ignorenulls=True).over(w))
     carry = u.where(F.col("_btag") == 1).select(
-        *on, F.col("_ob").alias("_ab"), *[f"_cin_{c}" for c in carried]
+        *on, F.col("_ob").alias("_ab"), "_cin_row"
     )
 
     out = inbucket.join(carry, on + ["_ab"], "left")
+    # row-level fallback: the in-bucket match wins iff it EXISTS
+    # (matched right_ts non-null); per-column coalesce would otherwise
+    # splice carry-in values into a matched row's NULL columns
+    matched_in = F.col(f"{right_ts}{suffix}").isNotNull()
     for c in carried:
+        if c == right_ts:
+            continue  # keyed column last: it drives matched_in
         out = out.withColumn(
             f"{c}{suffix}",
-            F.coalesce(F.col(f"{c}{suffix}"), F.col(f"_cin_{c}")),
-        ).drop(f"_cin_{c}")
+            F.when(matched_in, F.col(f"{c}{suffix}")).otherwise(
+                F.col(f"_cin_row._cin_{c}")
+            ),
+        )
+    out = out.withColumn(
+        f"{right_ts}{suffix}",
+        F.coalesce(
+            F.col(f"{right_ts}{suffix}"), F.col(f"_cin_row._cin_{right_ts}")
+        ),
+    ).drop("_cin_row")
     if tolerance_ms is not None:
         stale = (
             F.col(left_ts).cast("long") - F.col(f"{right_ts}{suffix}")

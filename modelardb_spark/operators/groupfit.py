@@ -903,10 +903,16 @@ def fit_segments_adaptive(
             _route(correlated_conversations(wide_series, metrics, threshold)),
             "conv_id",
         )
-    # both branches consume the SAME routed frame: cache it so the
-    # derive + correlation lineage runs once, not once per branch
-    # (MEMORY_AND_DISK, LRU-evictable; bins-sized, ~40B/row)
-    routed = routed.persist()
+    # both branches consume the SAME routed frame: localCheckpoint
+    # (lazy) materializes it once at the first branch's action and the
+    # second branch reuses the blocks. Unlike persist(), the blocks are
+    # RDD-scoped — the ContextCleaner frees them when the returned
+    # frames are garbage-collected, so a long-lived query-server
+    # session does not accumulate one CacheManager entry per call.
+    # Tradeoff: lineage is truncated, so executor loss fails the job
+    # instead of recomputing — acceptable for a bins-sized (~40B/row)
+    # intermediate that any retry rebuilds from source.
+    routed = routed.localCheckpoint(eager=False)
     g = fit_segments_grouped(
         routed.where(F.col("grouped")).drop("grouped"), cfg, metrics
     )

@@ -184,19 +184,25 @@ def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_buckets(emb: DataFrame, bits: int = 16, seed: int = 42) -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, bits: int = 16, seed: int = 42, dim: int | None = None
+) -> DataFrame:
     """(vec_id, bucket): single-table sign-of-projection signature —
     one-table projection of `lsh_buckets_multi`, so every LSH path
     computes signatures with the SAME arithmetic (one broadcast BLAS
     matmul; sign parity with the oracle's left-to-right fold is pinned
     by tests/test_traindata_ops.py::test_lsh_projection_sign_margin)."""
-    return lsh_buckets_multi(emb, bits, tables=1, seed=seed).select(
+    return lsh_buckets_multi(emb, bits, tables=1, seed=seed, dim=dim).select(
         "vec_id", "bucket"
     )
 
 
 def lsh_buckets_multi(
-    emb: DataFrame, bits: int = 8, tables: int = 8, seed: int = 42
+    emb: DataFrame,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, tbl, bucket): multi-table LSH — `tables` independent
     signatures per vector, computed in ONE map-only pass. Multi-table
@@ -218,7 +224,10 @@ def lsh_buckets_multi(
         StructType,
     )
 
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        # arrays carry no width in the Spark schema; pass `dim` to skip
+        # this one-row probe job when the caller knows it
+        dim = len(emb.select("embedding").first()[0])
     planes = np.array(
         [
             hyperplanes(dim, bits, table_seed(seed, t))
@@ -262,6 +271,7 @@ def embedding_near_dup(
     bits: int = 8,
     tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs, LSH-bucketed (the scale path — replaces
     the round-1 driver-collect version): pairs are candidates iff they
@@ -276,7 +286,7 @@ def embedding_near_dup(
     see tests/test_traindata_ops.py::test_lsh_near_dup_recall for the
     planted-near-dup recall measurement against the brute-force
     baseline."""
-    sigs = lsh_buckets_multi(emb, bits, tables, seed)
+    sigs = lsh_buckets_multi(emb, bits, tables, seed, dim=dim)
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["tbl", "bucket"])
@@ -574,6 +584,7 @@ def lsh_topk(
     seed: int = 42,
     max_task_rows: int = 32768,
     enforce_cap: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact ranking *within* each LSH bucket (each
     vector lives in exactly one bucket, so bucket-local rank == final
@@ -659,7 +670,7 @@ def lsh_topk(
             )
         return pd.concat(outs, ignore_index=True) if outs else empty
 
-    buckets = lsh_buckets(emb, bits, seed)
+    buckets = lsh_buckets(emb, bits, seed, dim=dim)
     base = emb.select("vec_id", "embedding").join(buckets, "vec_id")
     # per-bucket slice count from the (<= 2^bits rows) size table
     sizes = buckets.groupBy("bucket").agg(F.count("*").alias("bsize"))

@@ -83,6 +83,12 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(how)
+    if how == "left":
+        # surrogate row id: the unmatched-row recovery anti-joins on
+        # this single id — anti-joining on all point columns would
+        # re-emit any matched row containing a NULL (null-unsafe
+        # equality never matches it back to itself)
+        points = points.withColumn("_pid", F.monotonically_increasing_id())
     b_pts = points.withColumn(
         "_ib", (F.col(point_ts) / bucket_ms).cast("long")
     )
@@ -103,10 +109,10 @@ def interval_join(
     ivcols = [c for c in intervals.columns if c not in on]
     matched = joined.drop("_ib")
     missing = b_pts.join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        matched.select("_pid").distinct(), "_pid", "left_anti"
     ).drop("_ib")
     for c in ivcols:
         missing = missing.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
-    return matched.unionByName(missing)
+    return matched.unionByName(missing).drop("_pid")

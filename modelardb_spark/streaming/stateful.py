@@ -320,21 +320,18 @@ def stream_ingest_stateful(
 
 def _temp_visible_writer(out_root: str):
     """foreachBatch sink for emit_temporary mode: finals append,
-    temporaries replace their conversation's partition. The touched-
-    conversation set is bounded per batch (only convs with new data or
-    a flush emit), so the driver-side partition replace is O(active
-    convs), independent of history size."""
-    import os
-    import shutil
+    temporaries replace their conversation's partition via DYNAMIC
+    partition overwrite — fully distributed, no driver-side loop, no
+    local-filesystem coupling (works on any Hadoop filesystem).
 
-    # Spark writes partition directories with escapePathName applied to
-    # the value (ExternalCatalogUtils: control chars and "#%'*/:=?\{[]^
-    # become %XX): the reconcile delete must target the ESCAPED path or
-    # a conv_id like "a:b" would leave its stale temporaries behind
-    esc = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(1, 32)} | {chr(127)}
-
-    def escape_path(v: str) -> str:
-        return "".join(f"%{ord(ch):02X}" if ch in esc else ch for ch in v)
+    Reconcile-on-finalize semantics: every conv that emitted ANYTHING
+    this batch must have its temp partition replaced, including convs
+    that emitted only finals (watermark flush) and therefore have NO
+    temp rows to write. Dynamic overwrite only touches partitions
+    present in the written frame, so those convs contribute a single
+    TOMBSTONE row (`_tombstone = true`, all payload columns NULL); the
+    union view filters tombstones out. The written frame is O(active
+    convs + open runs) per micro-batch, independent of history size."""
 
     def write(bdf, batch_id: int) -> None:
         bdf = bdf.persist()
@@ -347,19 +344,33 @@ def _temp_visible_writer(out_root: str):
                 f"{out_root}/segments_stream/batch={batch_id}"
             )
             temp_root = f"{out_root}/temp_segments_stream"
-            # every conv that emitted ANYTHING this batch gets its temp
-            # partition replaced: finalize-only emissions (watermark
-            # flush) thereby truncate their stale temporaries — the
-            # reference's reconcile-on-finalize
-            for (conv,) in bdf.select("conv_id").distinct().collect():
-                d = os.path.join(temp_root, f"conv_id={escape_path(conv)}")
-                if os.path.exists(d):
-                    shutil.rmtree(d)
-            temp = bdf.where(F.col("temporary")).drop("temporary")
-            if temp.head(1):
-                temp.write.mode("append").partitionBy("conv_id").parquet(
-                    temp_root
+            temp = (
+                bdf.where(F.col("temporary"))
+                .drop("temporary")
+                .withColumn("_tombstone", F.lit(False))
+            )
+            payload = [
+                (f.name, f.dataType)
+                for f in temp.schema.fields
+                if f.name not in ("conv_id", "_tombstone")
+            ]
+            tombs = (
+                bdf.select("conv_id")
+                .distinct()
+                .join(temp.select("conv_id").distinct(), "conv_id", "left_anti")
+                .select(
+                    "conv_id",
+                    *[F.lit(None).cast(dt).alias(n) for n, dt in payload],
+                    F.lit(True).alias("_tombstone"),
                 )
+            )
+            (
+                temp.unionByName(tombs)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("conv_id")
+                .parquet(temp_root)
+            )
         finally:
             bdf.unpersist()
 
@@ -376,6 +387,8 @@ def segments_with_temporary(
     temporary side is empty and the union equals the batch fit."""
     import os
 
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
     from modelardb_spark.operators.groupfit import GROUP_SEGMENT_SCHEMA
 
     schema = GROUP_SEGMENT_SCHEMA if grouped else SEGMENT_SCHEMA
@@ -387,5 +400,17 @@ def segments_with_temporary(
     temp_root = f"{out_root}/temp_segments_stream"
     if not os.path.exists(temp_root):
         return fin
-    tmp = spark.read.parquet(temp_root).select(*cols)
+    # EXPLICIT schema: conv_id is a partition value on disk, and
+    # partition-column type inference would coerce numeric-looking ids
+    # ("0123" -> 123), corrupting values and flipping the dtype the
+    # union must match; the declared schema pins it to string
+    temp_schema = StructType(
+        list(schema.fields) + [StructField("_tombstone", BooleanType(), True)]
+    )
+    tmp = (
+        spark.read.schema(temp_schema)
+        .parquet(temp_root)
+        .where(~F.col("_tombstone"))
+        .select(*cols)
+    )
     return fin.unionByName(tmp)

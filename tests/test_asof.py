@@ -173,3 +173,47 @@ def test_bucketed_asof_windows_are_bucket_partitioned(spark):
     # at least one window keyed by (k, _ab); none keyed by k alone with
     # the row-level timestamp ordering
     assert any("_ab" in s for s in specs), specs
+
+
+def test_asof_matched_row_null_column_stays_null(spark):
+    """Row semantics: when the MATCHED right row holds a NULL value
+    column, the join must carry that NULL — not resurrect an older
+    row's value (per-column carry-forward would)."""
+    from modelardb_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [("a", 7, "l1"), ("a", 4, "l0")], "k string, t long, name string"
+    )
+    right = spark.createDataFrame(
+        [("a", 3, 100.0, "x"), ("a", 6, None, "y")],
+        "k string, rt long, v double, w string",
+    )
+    for df in (
+        asof_join(left, right, ["k"], "t", "rt", ["v", "w"]),
+        # bucket width 2: the t=7 row matches rt=6 in-bucket while a
+        # carry-in (rt=3) is also visible — the NULL must still win
+        asof_join_bucketed(left, right, ["k"], "t", "rt", ["v", "w"], bucket_ms=2),
+    ):
+        out = {
+            r["name"]: (r["rt_asof"], r["v_asof"], r["w_asof"])
+            for r in df.collect()
+        }
+        assert out["l1"] == (6, None, "y"), out
+        assert out["l0"] == (3, 100.0, "x"), out
+
+
+def test_bucketed_asof_tied_right_rows_do_not_mix_columns(spark):
+    """Boundary reduction: two right rows tied on ts must carry as ONE
+    row — (v, w) from the same row, never v from one and w from the
+    other."""
+    from modelardb_spark.operators.asof import asof_join_bucketed
+
+    left = spark.createDataFrame([("a", 20, "l")], "k string, t long, name string")
+    right = spark.createDataFrame(
+        [("a", 5, 1.0, "one"), ("a", 5, 2.0, "two")],
+        "k string, rt long, v double, w string",
+    )
+    r = asof_join_bucketed(
+        left, right, ["k"], "t", "rt", ["v", "w"], bucket_ms=10
+    ).collect()[0]
+    assert (r["v_asof"], r["w_asof"]) in {(1.0, "one"), (2.0, "two")}, r

@@ -305,3 +305,36 @@ def test_gap_protocol_explode(spark):
     }
     assert agg[("turn_rate",)]["c"] == 10
     assert agg[("tool_usage",)]["c"] == 6
+
+
+def test_adaptive_fit_does_not_leak_cached_rdds(spark, wide):
+    """fit_segments_adaptive shares its routed frame via localCheckpoint
+    (RDD-scoped blocks), not persist() (session-scoped CacheManager
+    entry): a long-lived query-server session must not accumulate one
+    cached entry per call. After dropping the returned frames, the JVM
+    ContextCleaner reclaims the blocks."""
+    import gc
+    import time
+
+    from modelardb_spark.operators.groupfit import fit_segments_adaptive
+
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    for _ in range(3):
+        g, p = fit_segments_adaptive(wide, CFG)
+        assert g.count() + p.count() > 0
+        del g, p
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    deadline = time.time() + 30
+    while time.time() < deadline and n_persistent() > base:
+        time.sleep(0.5)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert n_persistent() <= base, (
+        f"persistent RDDs grew {base} -> {n_persistent()} after 3 adaptive calls"
+    )

@@ -518,3 +518,81 @@ def test_temporary_reconcile_with_escaped_conv_id(spark, tmp_path):
         for r in derive_series(_frame(spark, drop1 + drop2)).collect()
     }
     assert set(pts) == expected
+
+
+def test_temp_writer_reconcile_is_distributed_and_type_safe(spark, tmp_path):
+    """The emit_temporary sink's reconcile semantics, exercised directly
+    on batch frames (foreachBatch hands the writer plain DataFrames):
+
+    - temporaries replace their conv's partition via DYNAMIC partition
+      overwrite — no driver rmtree loop, special characters in conv_id
+      handled by Spark's own partition-path escaping;
+    - a conv that emits ONLY finals truncates its stale temporaries
+      (tombstone row, filtered by the union view);
+    - numeric-looking conv_ids ("0123") survive the partition-column
+      round trip as STRINGS (explicit-schema read, no type inference).
+    """
+    from pyspark.sql import Row
+
+    from modelardb_spark.operators.fit import SEGMENT_SCHEMA
+    from modelardb_spark.streaming.stateful import (
+        _temp_visible_writer,
+        segments_with_temporary,
+    )
+
+    def seg_row(conv, metric, start, temporary):
+        return Row(
+            conv_id=conv, metric=metric, start_ms=start, end_ms=start + 1000,
+            interval_ms=1000, mtid=2, model=bytes([0, 0, 0, 0]), n=2,
+            seg_cnt=2, seg_min=1.0, seg_max=1.0, seg_sum=2.0,
+            p0=1.0, p1=None, temporary=temporary,
+        )
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # fresh copy: StructType.add would MUTATE the shared SEGMENT_SCHEMA
+    schema = StructType(
+        list(SEGMENT_SCHEMA.fields) + [StructField("temporary", BooleanType(), False)]
+    )
+    out_root = str(tmp_path / "stateful_out")
+    write = _temp_visible_writer(out_root)
+
+    # batch 0: "0123" final+temp, "a:b" temp-only
+    write(
+        spark.createDataFrame(
+            [
+                seg_row("0123", "turn_rate", 0, False),
+                seg_row("0123", "turn_rate", 5000, True),
+                seg_row("a:b", "turn_rate", 0, True),
+            ],
+            schema,
+        ),
+        0,
+    )
+    vis = segments_with_temporary(spark, out_root)
+    rows = {(r["conv_id"], r["start_ms"]) for r in vis.collect()}
+    assert rows == {("0123", 0), ("0123", 5000), ("a:b", 0)}
+    assert dict(vis.dtypes)["conv_id"] == "string"
+
+    # batch 1: "0123" finalizes its open run (final only, NO temp rows)
+    # -> its stale temporary must disappear; "a:b" untouched
+    write(
+        spark.createDataFrame([seg_row("0123", "turn_rate", 5000, False)], schema),
+        1,
+    )
+    rows = {
+        (r["conv_id"], r["start_ms"])
+        for r in segments_with_temporary(spark, out_root).collect()
+    }
+    assert rows == {("0123", 0), ("0123", 5000), ("a:b", 0)}
+
+    # batch 2: "a:b" re-emits a replacement temporary -> old one replaced
+    write(
+        spark.createDataFrame([seg_row("a:b", "turn_rate", 9000, True)], schema),
+        2,
+    )
+    rows = {
+        (r["conv_id"], r["start_ms"])
+        for r in segments_with_temporary(spark, out_root).collect()
+    }
+    assert rows == {("0123", 0), ("0123", 5000), ("a:b", 9000)}

@@ -112,3 +112,22 @@ FROM s GROUP BY 1, 2
         )
     )
     assert got == want
+
+
+def test_interval_join_left_null_columns_no_duplicates(spark):
+    """A matched point row containing NULLs must appear exactly once:
+    the unmatched-row recovery anti-joins on a surrogate id, not on the
+    (null-unsafe) point columns."""
+    pts = spark.createDataFrame(
+        [("k", 250, None), ("k", 20, None), ("k", 30, "z")],
+        "k string, t long, extra string",
+    )
+    ivs = spark.createDataFrame(
+        [("k", 100, 990, "wide")], "k string, lo long, hi long, tag string"
+    )
+    out = interval_join(
+        pts, ivs, ["k"], "t", "lo", "hi", bucket_ms=100, how="left"
+    )
+    rows = sorted((r["t"], r["extra"], r["tag"]) for r in out.collect())
+    assert rows == [(20, None, None), (30, "z", None), (250, None, "wide")]
+    assert "_pid" not in out.columns

@@ -173,3 +173,35 @@ def test_transfer_converts_formats(spark, edge_root, tmp_path):
     assert _sorted_rows(
         rollup_from_segments(dst, HOUR_MS)
     ) == _sorted_rows(rollup_from_segments(src, HOUR_MS))
+
+
+def test_transfer_intra_source_duplicates_with_existing_dst(spark, edge_root, tmp_path):
+    """A source partition carrying duplicate keys must land exactly
+    once at the cloud even when the destination table ALREADY exists
+    (the dedup runs unconditionally, not only on first shipment)."""
+    import shutil
+
+    # edge copy with one day's rows physically duplicated
+    dup_edge = str(tmp_path / "dup_edge")
+    shutil.copytree(edge_root, dup_edge)
+    cat = TableCatalog(dup_edge)
+    seg = cat.read(spark, "segments")
+    orig_rows = seg.count()
+    days = sorted(int(d) for d in cat.list_partitions("segments", "part_day"))
+    doubled = seg.where(F.col("part_day") == days[-1])
+    seed = seg.where(F.col("part_day") == days[0]).localCheckpoint(eager=True)
+    cat.overwrite_partitions(
+        doubled.unionByName(doubled).localCheckpoint(eager=True),
+        "segments",
+        ["part_day"],
+    )
+
+    # destination pre-seeded with a DIFFERENT day -> dst.exists() is
+    # True when the duplicated day ships
+    cloud = str(tmp_path / "cloud_dup")
+    TableCatalog(cloud).overwrite_partitions(seed, "segments", ["part_day"])
+    transfer_segments(spark, dup_edge, cloud)
+    dst = TableCatalog(cloud).read(spark, "segments")
+    dup = dst.groupBy(*SEGMENT_KEYS).count().where(F.col("count") > 1).count()
+    assert dup == 0
+    assert dst.count() == orig_rows
