@@ -228,3 +228,130 @@ def oracle_fit_run(ts_ms, values, error_bound=0.0, length_bound=50):
             m.initialize(buf)
         emit_final()
     return out
+
+
+# ---------------------------------------------------------------------------
+# GROUP replay: the reference's cascade over the interleaved multi-series
+# stream (core/SegmentGenerator.java:154-267 fed by TimeSeriesGroup), done
+# append-by-append / timestamp-by-timestamp — the sequential counterpart of
+# the vectorized modelardb_spark.operators.groupfit kernel, used only as a
+# test / literal oracle.
+# ---------------------------------------------------------------------------
+
+
+def _group_swing_prefix(ts, v2d, bound):
+    """Sequential Swing interval filter over a group run: ONE line within
+    the bound of EVERY member at every timestamp, pivoted through
+    (t0, first member's value) — SwingFilterModelType.java:36-103 under
+    same-timestamp appends. Returns (prefix_timestamps, a, b). The slope
+    bookkeeping mirrors the engine's accumulate formulation exactly so
+    float-level decisions agree."""
+    n_ts, n_mem = v2d.shape
+    if n_ts < 2:
+        return n_ts, 0.0, 0.0
+    v = v2d.astype(np.float64)
+    dev = np.abs(v * (bound / 100.1))
+    lo_k = (v - dev).max(axis=1)
+    hi_k = (v + dev).min(axis=1)
+    t = np.asarray(ts, dtype=np.float64)
+    t0 = t[0]
+    v0 = float(v2d[0, 0])
+    if not (lo_k[0] <= hi_k[0] and lo_k[0] <= v0 <= hi_k[0] and lo_k[1] <= hi_k[1]):
+        return 1, 0.0, 0.0
+    dt = t[1] - t0
+    up_a = (hi_k[1] - v0) / dt
+    lo_a = (lo_k[1] - v0) / dt
+    prefix = 2
+    for k in range(2, n_ts):
+        tk = t[k]
+        uba = up_a * tk + (v0 - up_a * t0)
+        lba = lo_a * tk + (v0 - lo_a * t0)
+        if (uba < lo_k[k]) or (lba > hi_k[k]) or not (lo_k[k] <= hi_k[k]):
+            break
+        dt = tk - t0
+        up_a = min(up_a, (hi_k[k] - v0) / dt)
+        lo_a = max(lo_a, (lo_k[k] - v0) / dt)
+        prefix += 1
+    a = (lo_a + up_a) / 2.0
+    b = ((v0 - lo_a * t0) + (v0 - up_a * t0)) / 2.0
+    return prefix, a, b
+
+
+def oracle_fit_group_run(ts_ms, vals2d, error_bound=0.0, length_bound=50, n_gaps=0):
+    """Sequential replay of the group cascade over ONE gap-free run of a
+    fixed active-member set; returns a list of
+    (start_ms, end_ms, mtid, model_bytes, n_values) group segments.
+    `vals2d` is (T, N) for the present members in interleave order;
+    `n_gaps` is the absent-member count (4 bytes each in the ratio,
+    ModelType.java:49-54)."""
+    from modelardb_spark.models.errors import outside_percentage_error_bound
+    from modelardb_spark.models.swing import swing_model
+    from modelardb_spark.models.pmc_mean import pmc_model
+    from modelardb_spark.models.uncompressed import raw_model
+
+    ts = [int(x) for x in ts_ms]
+    v = np.asarray(vals2d, dtype=np.float32)
+    n_ts, n_mem = v.shape
+    gap_bytes = 4.0 * n_gaps
+    max_vals = max(n_mem, (length_bound // n_mem) * n_mem)
+    out = []
+    pos = 0
+    while pos < n_ts:
+        rest = np.ascontiguousarray(v[pos:]).reshape(-1)
+        # PMC over the interleaved stream: sequential reference appends
+        pmc = _PMC(error_bound)
+        p = 0
+        for val in rest:
+            if not pmc.append(0, val):
+                break
+            p += 1
+        p_n = (p // n_mem) * n_mem  # whole timestamps only
+        pmc_ratio = (
+            16.0 * p_n / (24.0 + 4.0 + gap_bytes) if p_n >= n_mem else float("nan")
+        )
+        # Swing: shared line + float32 re-verification over every member
+        sw_ts, sw_a, sw_b = _group_swing_prefix(ts[pos:], v[pos:], error_bound)
+        sw_model, sw_ratio = None, float("nan")
+        if sw_ts >= 2:
+            tt = np.asarray(ts[pos : pos + sw_ts], dtype=np.float64)
+            approx = (sw_a * tt + sw_b).astype(np.float32)
+            ok = True
+            for k in range(sw_ts):
+                for j in range(n_mem):
+                    if outside_percentage_error_bound(
+                        error_bound, float(approx[k]), float(v[pos + k, j])
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                sw_model = swing_model(sw_a, sw_b)
+                sw_ratio = 16.0 * (sw_ts * n_mem) / (
+                    24.0 + len(sw_model) + gap_bytes
+                )
+        # Gorilla over the interleaved stream, length-bounded
+        g_n = min(rest.size, max_vals)
+        g_bytes = gorilla_compress(rest[:g_n])
+        gor_ratio = 16.0 * g_n / (24.0 + len(g_bytes) + gap_bytes)
+
+        # reference fold: NaN < x is false -> later model wins ties/NaNs
+        candidates = [
+            (2, p_n, pmc_ratio, None),
+            (3, sw_ts * n_mem, sw_ratio, sw_model),
+            (4, g_n, gor_ratio, g_bytes),
+        ]
+        best = candidates[0]
+        for cand in candidates:
+            if not (cand[2] < best[2]):
+                best = cand
+        mtid, length, ratio, model = best
+        if (ratio != ratio) or length == 0:
+            length = min(rest.size, max_vals)
+            mtid, model = 1, raw_model(rest, length)
+        elif mtid == 2:
+            model = pmc_model(rest, length)
+        seg_ts = length // n_mem
+        out.append((ts[pos], ts[pos + seg_ts - 1], mtid, bytes(model), length))
+        pos += seg_ts
+    return out

@@ -338,3 +338,49 @@ def test_adaptive_fit_does_not_leak_cached_rdds(spark, wide):
     assert n_persistent() <= base, (
         f"persistent RDDs grew {base} -> {n_persistent()} after 3 adaptive calls"
     )
+
+
+def test_group_fit_matches_sequential_replay(spark, wide, gseg):
+    """The vectorized group cascade must emit exactly the segments the
+    sequential reference-style replay produces (same greedy fold over
+    the interleaved stream) — (start, end, mtid, model bytes, n) per
+    conversation, in order."""
+    from tests.reference_oracle import oracle_fit_group_run
+
+    rows = (
+        wide.select("conv_id", "bin_ms", "turn_rate", "tool_usage")
+        .orderBy("conv_id", "bin_ms")
+        .collect()
+    )
+    per_conv: dict[str, list] = {}
+    for r in rows:
+        per_conv.setdefault(r["conv_id"], []).append(
+            (r["bin_ms"], r["turn_rate"], r["tool_usage"])
+        )
+    expected: dict[str, list] = {}
+    for conv, triples in per_conv.items():
+        bins = np.array([t[0] for t in triples], dtype=np.int64)
+        v2d = np.column_stack(
+            [
+                np.array([t[1] for t in triples], dtype=np.float32),
+                np.array([t[2] for t in triples], dtype=np.float32),
+            ]
+        )
+        brk = np.zeros(bins.size, dtype=bool)
+        brk[1:] = ((bins[1:] // 86_400_000) != (bins[:-1] // 86_400_000)) | (
+            (bins[1:] - bins[:-1]) > 60_000
+        )
+        bounds = [0, *np.flatnonzero(brk).tolist(), bins.size]
+        segs = expected.setdefault(conv, [])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            segs.extend(
+                oracle_fit_group_run(bins[s:e], v2d[s:e], CFG.error_bound, 50)
+            )
+    got: dict[str, list] = {}
+    for r in gseg.orderBy("conv_id", "start_ms").collect():
+        got.setdefault(r["conv_id"], []).append(
+            (r["start_ms"], r["end_ms"], r["mtid"], bytes(r["model"]), r["n"])
+        )
+    assert set(got) == set(expected)
+    for conv in got:
+        assert sorted(got[conv]) == sorted(expected[conv]), conv
