@@ -52,6 +52,7 @@ def ingest(
     grouped: bool = False,
     dynamic_split_fraction: float | None = None,
     fmt: str = "parquet",
+    catalog_kind: str = "dir",
 ) -> dict:
     """Run the pipeline; returns metrics. `fail_after_chunks` injects a
     crash after N chunks (resume tests only). `grouped=True` compresses
@@ -69,8 +70,12 @@ def ingest(
             f"cfg.salt_days == 1 (got {cfg.salt_days})"
         )
     # fmt: "parquet" or "orc" — the reference's two columnar segment
-    # backends (storage/ParquetStorage.scala, storage/ORCStorage.scala)
-    catalog = TableCatalog(out_root, fmt)
+    # backends (storage/ParquetStorage.scala, storage/ORCStorage.scala).
+    # catalog_kind: "dir" = partition-directory layout, "snapshot" =
+    # ACID manifest commits (io/snapshots.py — the FileStorage WAL story)
+    from modelardb_spark.io.snapshots import make_catalog
+
+    catalog = make_catalog(out_root, fmt, catalog_kind)
     ckpt = CheckpointStore(out_root)
 
     # Stage the input day-partitioned ONCE per snapshot so that each
@@ -230,6 +235,8 @@ def main() -> None:
                          "threshold (reference default 0.10)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
                     help="segment/rollup table format (ORCStorage parity)")
+    ap.add_argument("--catalog", default="dir", choices=["dir", "snapshot"],
+                    help="table layout: partition dirs or ACID snapshot commits")
     args = ap.parse_args()
 
     from modelardb_spark.operators.transcripts import transcripts_from_events
@@ -250,7 +257,7 @@ def main() -> None:
     print(ingest(spark, transcripts, args.out, cfg,
                  snapshot_id=args.snapshot_id, grouped=args.grouped,
                  dynamic_split_fraction=args.dynamic_split_fraction,
-                 fmt=args.format))
+                 fmt=args.format, catalog_kind=args.catalog))
     spark.stop()
 
 

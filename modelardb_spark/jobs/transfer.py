@@ -114,6 +114,8 @@ def transfer_segments(
     dedup_keys: list[str] | None = None,
     src_fmt: str = "parquet",
     dst_fmt: str = "parquet",
+    src_kind: str = "dir",
+    dst_kind: str = "dir",
 ) -> dict:
     """Ship finalized segments from the edge catalog at `src_root` to
     the cloud catalog at `dst_root`; returns metrics. Resumable
@@ -125,8 +127,10 @@ def transfer_segments(
     `wall_ms` are chunk totals averaged across the chunk's days —
     approximate per-day attribution, exact in aggregate."""
     dedup_keys = dedup_keys or SEGMENT_KEYS
-    src = TableCatalog(src_root, src_fmt)
-    dst = TableCatalog(dst_root, dst_fmt)
+    from modelardb_spark.io.snapshots import make_catalog
+
+    src = make_catalog(src_root, src_fmt, src_kind)
+    dst = make_catalog(dst_root, dst_fmt, dst_kind)
     ckpt = CheckpointStore(dst_root)
     ckpt_table = f"transfer:{table}"
 
@@ -222,6 +226,8 @@ def main() -> None:
     ap.add_argument("--chunk-days", type=int, default=64)
     ap.add_argument("--src-format", default="parquet", choices=["parquet", "orc"])
     ap.add_argument("--dst-format", default="parquet", choices=["parquet", "orc"])
+    ap.add_argument("--src-catalog", default="dir", choices=["dir", "snapshot"])
+    ap.add_argument("--dst-catalog", default="dir", choices=["dir", "snapshot"])
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark
@@ -232,6 +238,7 @@ def main() -> None:
             spark, args.src, args.dst, table=args.table,
             chunk_days=args.chunk_days,
             src_fmt=args.src_format, dst_fmt=args.dst_format,
+            src_kind=args.src_catalog, dst_kind=args.dst_catalog,
         )
     )
     spark.stop()
