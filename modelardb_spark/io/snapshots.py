@@ -406,9 +406,14 @@ class SnapshotCatalog:
 
 def make_catalog(root: str, fmt: str = "parquet", kind: str = "dir"):
     """Catalog factory: "dir" = TableCatalog (partition-dir layout),
-    "snapshot" = SnapshotCatalog (ACID manifest commits)."""
+    "snapshot" = SnapshotCatalog (ACID manifest commits), "jdbc" =
+    JdbcCatalog (RDBMS backend, JDBCStorage.scala parity)."""
     if kind == "snapshot":
         return SnapshotCatalog(root, fmt)
+    if kind == "jdbc":
+        from modelardb_spark.io.jdbc import JdbcCatalog
+
+        return JdbcCatalog(root)
     from modelardb_spark.io.tables import TableCatalog
 
     if kind != "dir":

@@ -226,8 +226,10 @@ def main() -> None:
     ap.add_argument("--chunk-days", type=int, default=64)
     ap.add_argument("--src-format", default="parquet", choices=["parquet", "orc"])
     ap.add_argument("--dst-format", default="parquet", choices=["parquet", "orc"])
-    ap.add_argument("--src-catalog", default="dir", choices=["dir", "snapshot"])
-    ap.add_argument("--dst-catalog", default="dir", choices=["dir", "snapshot"])
+    ap.add_argument("--src-catalog", default="dir",
+                    choices=["dir", "snapshot", "jdbc"])
+    ap.add_argument("--dst-catalog", default="dir",
+                    choices=["dir", "snapshot", "jdbc"])
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark
