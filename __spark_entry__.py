@@ -383,6 +383,85 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 4, 2
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-search QUALITY in the hard driver signal, measured
+    against exact brute force — one row per method:
+
+    - `lsh` / `ivf`: recall@5 over the 20 query vectors vs the exact
+      top-5 (same arithmetic as the lsh_topk / ivf_topk oracles).
+    - `lsh_near_dup`: pair recall of the multi-table LSH near-dup path
+      at its operating threshold vs the brute-force pair set.
+
+    Context for the absolute numbers: the fixture embeddings are
+    ISOTROPIC (no planted high-similarity clusters), the adversarial
+    regime for LSH. Sign-LSH theory predicts per-pair collision
+    (1 - theta/pi)^bits per table at angle theta — at the near-dup
+    threshold 0.3 (theta ~ 72.5 deg) that is ~1.6%/table, ~12% over 8
+    tables, and the measured recall lands exactly there (~0.12): the
+    measurement certifies the implementation IS the textbook LSH, and
+    the recall levers (bits down / tables up) behave as derived.
+    hits/total is an exact integer division -> engine-independent
+    hash."""
+    from modelardb_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dup,
+        embedding_near_dup_bruteforce,
+        ivf_topk,
+        load_embeddings,
+        lsh_topk,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    _assert_oracle_dim(emb)
+    queries_df = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    lsh = (
+        lsh_topk(emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED, dim=64)
+        .where(F.col("query_id") < 20)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ivf_topk(
+        emb, queries_df, k=5,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, train_iters=_IVF_ITERS,
+    ).select("query_id", "neighbor_id")
+    approx = lsh.withColumn("method", F.lit("lsh")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    topk_hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("hits"))
+    )
+    topk_total = exact.agg(F.count("*").alias("total"))
+    topk = (
+        spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+        .join(topk_hits, "method", "left")
+        .na.fill(0, ["hits"])
+        .crossJoin(F.broadcast(topk_total))
+    )
+
+    bf_pairs = embedding_near_dup_bruteforce(emb, threshold=_ND_THRESH).select(
+        "vec_a", "vec_b"
+    )
+    nd_pairs = embedding_near_dup(
+        emb, threshold=_ND_THRESH, bits=_ND_BITS, tables=_ND_TABLES,
+        seed=_LSH_SEED, dim=64,
+    ).select("vec_a", "vec_b")
+    nd = (
+        nd_pairs.join(bf_pairs, ["vec_a", "vec_b"])
+        .agg(F.count("*").alias("hits"))
+        .crossJoin(F.broadcast(bf_pairs.agg(F.count("*").alias("total"))))
+        .select(F.lit("lsh_near_dup").alias("method"), "hits", "total")
+    )
+
+    return topk.unionByName(nd).select(
+        "method",
+        F.col("hits").cast("long").alias("hits"),
+        F.col("total").cast("long").alias("total"),
+        (F.col("hits") / F.col("total")).alias("recall"),
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors with TRAINED centroids:
     deterministic md5 seed refined by 2 distributed Lloyd iterations
@@ -1419,6 +1498,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ann_recall": _q_ann_recall,
         "multimodal_features": _q_multimodal_features,
         "media_decode": _q_media_decode,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -2048,6 +2128,111 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
       PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM pairs
 ) WHERE rank <= 5
+"""
+        ),
+        "ann_recall": (
+            "WITH "
+            + _SQL_EMB_BASE
+            + ", "
+            + _sql_lsh_sigs(_TOPK_BITS, 1, _LSH_SEED)
+            + ","
+            # second signature family for the near-dup method (its own
+            # bits/tables); CTE names uniquified
+            + _sql_lsh_sigs(_ND_BITS, _ND_TABLES, _LSH_SEED)
+            .replace("planes", "nd_planes")
+            .replace("sigs", "nd_sigs")
+            + ","
+            + _sql_ivf_trained_cents(_IVF_CELLS, _IVF_ITERS)
+            + f""", exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS cosine
+      FROM base q JOIN base n ON n.vec_id != q.vec_id
+      WHERE q.vec_id < 20
+    ) p
+  ) WHERE rank <= 5
+), lsh_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_SQL_COSINE} AS cosine
+      FROM base q
+      JOIN sigs sq ON sq.vec_id = q.vec_id
+      JOIN sigs sn ON sn.bucket = sq.bucket AND sn.tbl = sq.tbl
+      JOIN base n ON n.vec_id = sn.vec_id AND n.vec_id != q.vec_id
+    ) p
+  ) WHERE rank <= {_TOPK_K}
+), ivf_sc AS (
+  SELECT b.vec_id, c.cell,
+         round(list_sum(list_transform(list_zip(b.embedding, c.cemb),
+               t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))
+               / (b.norm * c.cnorm), 6) AS csim
+  FROM base b CROSS JOIN cents c
+), ivf_assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+    FROM ivf_sc
+  ) WHERE rn = 1
+), ivf_probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+    FROM ivf_sc WHERE vec_id < 20
+  ) WHERE rn <= {_IVF_PROBE}
+), ivf_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT c.query_id, c.neighbor_id, {_SQL_COSINE} AS cosine
+      FROM (
+        SELECT DISTINCT pr.query_id, a.vec_id AS neighbor_id
+        FROM ivf_probes pr JOIN ivf_assign a USING (cell)
+        WHERE a.vec_id != pr.query_id
+      ) c
+      JOIN base q ON q.vec_id = c.query_id
+      JOIN base n ON n.vec_id = c.neighbor_id
+    ) p
+  ) WHERE rank <= 5
+), approx AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh_top WHERE query_id < 20
+  UNION ALL
+  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf_top
+), tot AS (SELECT COUNT(*) AS total FROM exact_top
+), nd AS (
+  SELECT DISTINCT q.vec_id AS vec_a, n.vec_id AS vec_b
+  FROM base q
+  JOIN nd_sigs sq ON sq.vec_id = q.vec_id
+  JOIN nd_sigs sn ON sn.bucket = sq.bucket AND sn.tbl = sq.tbl
+  JOIN base n ON n.vec_id = sn.vec_id AND q.vec_id < n.vec_id
+  WHERE {_SQL_COSINE} >= {_ND_THRESH}
+), bf AS (
+  SELECT q.vec_id AS vec_a, n.vec_id AS vec_b
+  FROM base q JOIN base n ON q.vec_id < n.vec_id
+  WHERE {_SQL_COSINE} >= {_ND_THRESH}
+), res AS (
+  SELECT m.method,
+         CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         CAST(t.total AS BIGINT) AS total
+  FROM (VALUES ('lsh'), ('ivf')) m(method)
+  LEFT JOIN (
+    SELECT method, COUNT(*) AS hits
+    FROM approx a JOIN exact_top e USING (query_id, neighbor_id)
+    GROUP BY 1
+  ) h USING (method)
+  CROSS JOIN tot t
+  UNION ALL
+  SELECT 'lsh_near_dup',
+         (SELECT COUNT(*) FROM nd),
+         (SELECT COUNT(*) FROM bf)
+)
+SELECT method, hits, total, CAST(hits AS DOUBLE) / total AS recall FROM res
 """
         ),
         "multimodal_features": """

@@ -224,3 +224,28 @@ def test_segment_sql_count_restrict_is_pure_jvm(spark, sf_small, tmp_path):
     # (AQE prints isFinalPlan=false pre-execution, so codegen spans
     # aren't visible here; no-Python + hash aggregation is the claim)
     assert "HashAggregate" in plan
+
+
+def test_avg_s_alone_dedupes_its_two_seg_agg_occurrences(spark, sf_small, tmp_path):
+    """AVG_S rewrites to SUM(SEG_AGG(...).vsum) / SUM(SEG_AGG(...).cnt)
+    — textually TWO SEG_AGG calls; Catalyst must collapse them to one
+    ArrowEvalPython evaluation (each segment decodes once)."""
+    from modelardb_spark.operators.sqlfunctions import (
+        register_sql_functions,
+        segment_sql,
+    )
+
+    seg = fit_segments_wide(
+        derive_series_wide(transcripts_from_events(spark, sf_small)),
+    )
+    p = str(tmp_path / "avgsolo")
+    seg.write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("segments")
+    register_sql_functions(spark)
+    df = segment_sql(
+        spark,
+        "SELECT conv_id, AVG_S(#) AS mean FROM segments GROUP BY conv_id",
+    )
+    plan = _plan(df)
+    assert plan.count("SEG_AGG") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
