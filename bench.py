@@ -30,7 +30,7 @@ SYN_CONVS = int(os.environ.get("BENCH_CONVS", "2000"))
 SYN_TURNS = int(os.environ.get("BENCH_TURNS_PER_CONV", "1000"))
 
 
-def _spark(cores: str):
+def _spark(cores: str, master: str | None = None):
     from modelardb_spark.session import get_spark
 
     # shuffle partitions == task slots measures best here: each fit
@@ -39,11 +39,16 @@ def _spark(cores: str):
     # Console progress bars interleave \r-terminated fragments with
     # real stdout lines; a driver capturing the process tail can clip
     # the result JSON mid-line (this lost BENCH_r03's headline). Off.
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    master = master or os.environ.get("BENCH_MASTER") or f"local[{cores}]"
+    if master.startswith("local-cluster"):
+        # real executor JVMs: size their heaps (default 1g would spill)
+        extra["spark.executor.memory"] = os.environ.get("BENCH_EXEC_MEM", "6g")
     s = get_spark(
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", cores)),
         app_name=f"bench-{cores}",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     s.sparkContext.setLogLevel("ERROR")
     return s
@@ -134,6 +139,63 @@ def main() -> None:
                           "turns_per_sec": round(n / dt)}))
         return
 
+    if "--scaling-executors" in sys.argv:
+        # TRUE multi-executor rung: local-cluster[N, cores, mem] spawns
+        # N separate executor JVMs (own heap, own shuffle files, own
+        # Python workers) — the closest in-sandbox rendering of the
+        # north rule's "N executors -> 4N executors" that is not just a
+        # thread-count change. Per-executor resources are FIXED (4
+        # cores, 8 GiB worker / 6 GiB heap); only the executor count
+        # moves 1 -> 4. Alternating runs, fresh driver JVM per run,
+        # best-of-R — same steal discipline as --scaling.
+        import statistics
+        import subprocess
+
+        cores_per = int(os.environ.get("BENCH_EXECS_CORES", "4"))
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+        env_base = dict(
+            os.environ,
+            BENCH_SCALING_CONVS=os.environ.get("BENCH_SCALING_CONVS", "6000"),
+            BENCH_SCALING_TURNS=os.environ.get("BENCH_SCALING_TURNS", "1500"),
+            SPARK_GRAFT_DRIVER_MEM="8g",
+        )
+        all_runs: dict[str, list] = {"1": [], "4": []}
+        for _ in range(rounds):
+            for execs in ("1", "4"):
+                slots = int(execs) * cores_per
+                env = dict(
+                    env_base,
+                    SPARK_GRAFT_CPUS=str(slots),
+                    BENCH_MASTER=f"local-cluster[{execs},{cores_per},8192]",
+                    BENCH_SHUFFLE=str(slots),
+                )
+                out = subprocess.run(
+                    [sys.executable, __file__, "--pipeline-only"],
+                    capture_output=True, text=True, env=env,
+                )
+                if out.returncode != 0:
+                    sys.stderr.write(out.stderr[-4000:])
+                    raise SystemExit(f"pipeline-only at {execs} executors failed")
+                all_runs[execs].append(
+                    json.loads(out.stdout.strip().splitlines()[-1])
+                )
+        best = {c: max(rs, key=lambda r: r["turns_per_sec"]) for c, rs in all_runs.items()}
+        med = {
+            c: statistics.median(r["turns_per_sec"] for r in rs)
+            for c, rs in all_runs.items()
+        }
+        print(json.dumps({
+            "metric": f"scaling efficiency 1 -> 4 executors "
+                      f"(local-cluster, {cores_per} cores / 8g each)",
+            "value": round(best["4"]["turns_per_sec"] / best["1"]["turns_per_sec"] / 4, 3),
+            "unit": "efficiency",
+            "efficiency_medians": round(med["4"] / med["1"] / 4, 3),
+            "median_tps": med,
+            "best": best,
+            "all_runs": all_runs,
+        }))
+        return
+
     if "--scaling" in sys.argv:
         # N vs 4N cores, each level in its own subprocess (fresh JVM),
         # 4x workload so fixed overheads don't dominate. This sandbox
@@ -212,6 +274,34 @@ def main() -> None:
     dt = min(dt1, dt2)
     queries, queries_best, rounds = sf_queries(spark)
     spark.stop()
+
+    # Production-shaped topology side measurement: the SAME CPU budget
+    # split into 4 real executor JVMs (standard Spark sizing — several
+    # mid-size executors per large node, never one giant JVM) runs this
+    # pipeline 1.3-2x faster than one N-thread JVM on this box (GC and
+    # allocator contention are per-JVM). Fresh subprocess so the master
+    # can differ; same workload, reported alongside the contract
+    # (single-JVM local[N]) headline.
+    multi_exec = None
+    try:
+        import subprocess
+        per = max(1, int(CPUS) // 4)
+        env = dict(
+            os.environ,
+            BENCH_MASTER=f"local-cluster[4,{per},8192]",
+            SPARK_GRAFT_CPUS=str(4 * per),
+            BENCH_SHUFFLE=str(4 * per),
+            SPARK_GRAFT_DRIVER_MEM="8g",
+        )
+        out = subprocess.run(
+            [sys.executable, __file__, "--pipeline-only"],
+            capture_output=True, text=True, env=env, timeout=900,
+        )
+        if out.returncode == 0:
+            multi_exec = json.loads(out.stdout.strip().splitlines()[-1])
+            multi_exec["topology"] = f"local-cluster[4,{per},8192]"
+    except Exception:
+        multi_exec = None
     # apples-to-apples across rounds: the round-3 bench covered 45
     # queries; later rounds add more, so the headline `value` (all
     # queries) is not directly comparable — `queries_r3_basis_sec`
@@ -245,6 +335,7 @@ def main() -> None:
         "best_of": 2,
         "turns_per_sec": round(turns / dt),
         "turns_per_sec_runs": [round(turns / dt1), round(turns / dt2)],
+        "multi_executor_pipeline": multi_exec,
     })
     # Durable copy first (the authoritative record even if stdout is
     # clipped), then the JSON as the sole final stdout line.

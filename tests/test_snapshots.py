@@ -197,3 +197,28 @@ def test_transfer_to_snapshot_destination(spark, sf_small, tmp_path):
     assert sorted(map(tuple, dst.select(*src.columns).collect())) == sorted(
         map(tuple, src.collect())
     )
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: later commits may use a
+    DIFFERENT partition spec; old files stay readable (each commit's
+    layout is self-describing via its basePath) and manifest-level
+    pruning works per layout — files from a commit that does not carry
+    the filtered column are simply not matched by it."""
+    cat = SnapshotCatalog(str(tmp_path))
+    # v1: partitioned by part only
+    cat.overwrite(_df(spark, [("a", 1, 10), ("b", 2, 20)]), "t", ["part"])
+    # v2 append: evolved spec (part, v) — finer layout for new data
+    cat.append(_df(spark, [("c", 3, 30)]), "t", ["part", "v"])
+    assert _rows(cat.read(spark, "t")) == [("a", 1, 10), ("b", 2, 20), ("c", 3, 30)]
+    # pruning on the common column spans both layouts
+    assert _rows(cat.read(spark, "t", partition_filter={"part": [3]})) == [
+        ("c", 3, 30)
+    ]
+    # pruning on the evolved column matches only evolved-layout files
+    assert _rows(cat.read(spark, "t", partition_filter={"v": [30]})) == [
+        ("c", 3, 30)
+    ]
+    # partition listing reflects the union of specs
+    assert cat.list_partitions("t", "part") == ["1", "2", "3"]
+    assert cat.list_partitions("t", "v") == ["30"]
