@@ -44,6 +44,10 @@ def _spark(cores: str, master: str | None = None):
     if master.startswith("local-cluster"):
         # real executor JVMs: size their heaps (default 1g would spill)
         extra["spark.executor.memory"] = os.environ.get("BENCH_EXEC_MEM", "6g")
+        # every "executor" is on the same host: the default 3s locality
+        # wait per scheduling wave stalls small workloads for nothing
+        # (persisted blocks look remote across executor processes)
+        extra["spark.locality.wait"] = "0"
     s = get_spark(
         master=master,
         shuffle_partitions=int(os.environ.get("BENCH_SHUFFLE", cores)),
@@ -272,8 +276,6 @@ def main() -> None:
     turns, dt1 = headline_pipeline(spark)
     _, dt2 = headline_pipeline(spark)
     dt = min(dt1, dt2)
-    queries, queries_best, rounds = sf_queries(spark)
-    spark.stop()
 
     # Production-shaped topology side measurement: the SAME CPU budget
     # split into 4 real executor JVMs (standard Spark sizing — several
@@ -293,15 +295,26 @@ def main() -> None:
             BENCH_SHUFFLE=str(4 * per),
             SPARK_GRAFT_DRIVER_MEM="8g",
         )
-        out = subprocess.run(
-            [sys.executable, __file__, "--pipeline-only"],
-            capture_output=True, text=True, env=env, timeout=900,
-        )
-        if out.returncode == 0:
-            multi_exec = json.loads(out.stdout.strip().splitlines()[-1])
+        # best-of-2, and measured RIGHT AFTER the pipeline so both
+        # topologies see the same load window (this box's steal comes
+        # in ~10-minute bursts)
+        runs_me = []
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--pipeline-only"],
+                capture_output=True, text=True, env=env, timeout=900,
+            )
+            if out.returncode == 0:
+                runs_me.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        if runs_me:
+            multi_exec = max(runs_me, key=lambda r: r["turns_per_sec"])
             multi_exec["topology"] = f"local-cluster[4,{per},8192]"
+            multi_exec["runs_tps"] = [r["turns_per_sec"] for r in runs_me]
     except Exception:
         multi_exec = None
+
+    queries, queries_best, rounds = sf_queries(spark)
+    spark.stop()
     # apples-to-apples across rounds: the round-3 bench covered 45
     # queries; later rounds add more, so the headline `value` (all
     # queries) is not directly comparable — `queries_r3_basis_sec`

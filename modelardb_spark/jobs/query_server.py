@@ -48,17 +48,27 @@ def prepare_session(
     error_bound: float = 0.0,
     cfg: EngineConfig | None = None,
     fmt: str = "parquet",
+    catalog_kind: str = "dir",
 ) -> DataFrame:
     """Register the query surface (views + SQL functions) over segments
     fitted from `events` or read from a stored ingest output; returns
     the segments frame. `cfg` carries the full engine knob set (a
     declarative config passes it; `error_bound` alone is the CLI
     shortcut); `fmt` must match the stored table's format ("parquet"
-    or "orc" — an ORC ingest output is queried with fmt="orc")."""
+    or "orc" — an ORC ingest output is queried with fmt="orc");
+    `catalog_kind` selects the table layout ("dir", "snapshot" for the
+    ACID manifest catalog, "jdbc" for the RDBMS backend)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cfg = cfg if cfg is not None else EngineConfig(error_bound=error_bound)
     if segments_dir is not None:
-        seg = spark.read.format(fmt).load(f"{segments_dir}/segments")
+        if catalog_kind == "dir":
+            seg = spark.read.format(fmt).load(f"{segments_dir}/segments")
+        else:
+            from modelardb_spark.io.snapshots import make_catalog
+
+            seg = make_catalog(segments_dir, fmt, catalog_kind).read(
+                spark, "segments"
+            )
     elif events is not None:
         from modelardb_spark.operators.fit import fit_segments_wide
         from modelardb_spark.operators.series import derive_series_wide
@@ -174,6 +184,9 @@ def main(argv: list[str] | None = None) -> None:
                     " the session and interface mode")
     ap.add_argument("--events", help="events parquet to fit on the fly")
     ap.add_argument("--segments-dir", help="ingest output root with segments/")
+    ap.add_argument("--catalog", default="dir",
+                    choices=["dir", "snapshot", "jdbc"],
+                    help="segments-dir table layout")
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
                     help="stored segments format (must match the ingest"
                     " --format that wrote --segments-dir)")
@@ -221,7 +234,8 @@ def main(argv: list[str] | None = None) -> None:
             args.flight_port = int(qs.get("port", 0))
     else:
         prepare_session(spark, args.events, args.segments_dir,
-                        args.error_bound, fmt=args.format)
+                        error_bound=args.error_bound, fmt=args.format,
+                        catalog_kind=args.catalog)
 
     if args.sql:
         run_statements(spark, args.sql, args.limit)

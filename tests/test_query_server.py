@@ -135,3 +135,28 @@ def test_flight_interface_round_trip(spark, sf_small, tmp_path):
                       key=lambda r: (r["conv_id"], r["metric"]))
     finally:
         server.shutdown()
+
+
+def test_query_server_reads_snapshot_catalog(spark, sf_small, tmp_path):
+    """--catalog snapshot: the query surface registers over an ACID
+    snapshot-catalog ingest output and answers the segment SQL."""
+    from modelardb_spark.config import EngineConfig
+    from modelardb_spark.jobs.ingest import ingest
+    from modelardb_spark.jobs.query_server import execute, prepare_session
+    from modelardb_spark.operators.transcripts import transcripts_from_events
+
+    root = str(tmp_path / "snap_qs")
+    ingest(
+        spark, transcripts_from_events(spark, sf_small), root,
+        EngineConfig(), catalog_kind="snapshot",
+    )
+    seg = prepare_session(spark, segments_dir=root, catalog_kind="snapshot")
+    n = seg.count()
+    assert n > 0
+    got = execute(
+        spark, "SELECT COUNT_S(#) AS cnt FROM segments"
+    ).collect()[0]["cnt"]
+    direct = seg.selectExpr(
+        "SUM((end_ms - start_ms) DIV interval_ms + 1) AS cnt"
+    ).collect()[0]["cnt"]
+    assert got == direct
