@@ -222,3 +222,53 @@ def test_partition_evolution(spark, tmp_path):
     # partition listing reflects the union of specs
     assert cat.list_partitions("t", "part") == ["1", "2", "3"]
     assert cat.list_partitions("t", "v") == ["30"]
+
+
+def test_maintenance_job_on_snapshot_catalog(spark, sf_small, tmp_path):
+    """Retention + compaction + snapshot expiry as one maintenance pass
+    over an ACID-catalog ingest output: the tiered policy drops cold
+    partitions (metadata-only commits), compaction rewrites to one file
+    per partition, expiry reclaims every unreferenced data file, and
+    the surviving tables still answer rollup queries exactly."""
+    from modelardb_spark.config import EngineConfig
+    from modelardb_spark.jobs.ingest import ingest
+    from modelardb_spark.jobs.maintain import compact_tables
+    from modelardb_spark.operators.retention import (
+        RetentionPolicy,
+        apply_retention,
+    )
+    from modelardb_spark.operators.transcripts import transcripts_from_events
+
+    root = str(tmp_path / "mnt")
+    ingest(
+        spark, transcripts_from_events(spark, sf_small), root,
+        EngineConfig(), catalog_kind="snapshot",
+    )
+    cat = SnapshotCatalog(root)
+    days = sorted(int(d) for d in cat.list_partitions("segments", "part_day"))
+    # policy 'now': keep the newest 7 days of segments, everything 1d
+    now_ms = (days[-1] + 1) * 86_400_000
+    before_1h = sorted(
+        map(tuple, cat.read(spark, "rollup_1h").drop("part_day").collect())
+    )
+    dropped = apply_retention(cat, RetentionPolicy(7, 30, None), now_ms)
+    assert dropped["segments"] == len([d for d in days if d < days[-1] + 1 - 7])
+    kept = sorted(int(d) for d in cat.list_partitions("segments", "part_day"))
+    assert kept == [d for d in days if d >= days[-1] + 1 - 7]
+    # warm tier (30d) untouched at this now
+    assert sorted(
+        map(tuple, cat.read(spark, "rollup_1h").drop("part_day").collect())
+    ) == before_1h
+
+    compact_tables(spark, cat)
+    expired = {
+        t: cat.expire_snapshots(t, keep_last=1)
+        for t in ["segments", "rollup_1m", "rollup_1h", "rollup_1d"]
+    }
+    assert sum(e["data_files"] for e in expired.values()) > 0
+    # one file per surviving partition, content preserved
+    seg = cat.read(spark, "segments")
+    assert len(seg.inputFiles()) == len(kept)
+    assert sorted(
+        map(tuple, cat.read(spark, "rollup_1h").drop("part_day").collect())
+    ) == before_1h
