@@ -367,7 +367,13 @@ class SnapshotCatalog:
         """Drop manifests older than the newest `keep_last` and
         garbage-collect data files no retained manifest references.
         Readers pinned to an expired version fail on their next open —
-        Iceberg's documented contract."""
+        Iceberg's documented contract.
+
+        Run from the maintenance path WITHOUT concurrent writers: a
+        writer that has staged data files but not yet linked its
+        manifest references nothing yet, so a simultaneous expiry would
+        sweep its files (the same caveat as Iceberg's orphan-file
+        cleanup with in-flight commits)."""
         cur = self.current_version(name)
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
         removed_manifests = 0
