@@ -381,6 +381,8 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: IVF parameters shared by the Spark query and its SQL oracle
 _IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 4, 2
+#: multi-table LSH top-k (the recall lever) table count
+_MULTI_TABLES = 16
 
 
 def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,6 +391,10 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - `lsh` / `ivf`: recall@5 over the 20 query vectors vs the exact
       top-5 (same arithmetic as the lsh_topk / ivf_topk oracles).
+    - `lsh_multi`: recall@5 of the multi-table top-k (the recall
+      lever, similarity.lsh_topk_multi at 16 tables) — 0.56 vs the
+      single-table 0.04 at sf0.01, while scoring only ~5% of the
+      corpus per query.
     - `lsh_near_dup`: pair recall of the multi-table LSH near-dup path
       at its operating threshold vs the brute-force pair set.
 
@@ -409,6 +415,7 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
         load_embeddings,
         lsh_topk,
+        lsh_topk_multi,
     )
 
     emb = load_embeddings(spark, sf_dir)
@@ -424,8 +431,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries_df, k=5,
         n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, train_iters=_IVF_ITERS,
     ).select("query_id", "neighbor_id")
-    approx = lsh.withColumn("method", F.lit("lsh")).unionByName(
-        ivf.withColumn("method", F.lit("ivf"))
+    multi = lsh_topk_multi(
+        emb, queries_df, k=5, bits=_TOPK_BITS, tables=_MULTI_TABLES,
+        seed=_LSH_SEED, dim=64,
+    ).select("query_id", "neighbor_id")
+    approx = (
+        lsh.withColumn("method", F.lit("lsh"))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .unionByName(multi.withColumn("method", F.lit("lsh_multi")))
     )
     topk_hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
@@ -434,7 +447,9 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk_total = exact.agg(F.count("*").alias("total"))
     topk = (
-        spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+        spark.createDataFrame(
+            [("lsh",), ("ivf",), ("lsh_multi",)], "method string"
+        )
         .join(topk_hits, "method", "left")
         .na.fill(0, ["hits"])
         .crossJoin(F.broadcast(topk_total))
@@ -2142,6 +2157,11 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
             .replace("planes", "nd_planes")
             .replace("sigs", "nd_sigs")
             + ","
+            # third family: the multi-table top-k (recall lever)
+            + _sql_lsh_sigs(_TOPK_BITS, _MULTI_TABLES, _LSH_SEED)
+            .replace("planes", "lm_planes")
+            .replace("sigs", "lm_sigs")
+            + ","
             + _sql_ivf_trained_cents(_IVF_CELLS, _IVF_ITERS)
             + f""", exact_top AS (
   SELECT query_id, neighbor_id FROM (
@@ -2200,10 +2220,28 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
       JOIN base n ON n.vec_id = c.neighbor_id
     ) p
   ) WHERE rank <= 5
+), lm_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT c.query_id, c.neighbor_id, {_SQL_COSINE} AS cosine
+      FROM (
+        SELECT DISTINCT sq.vec_id AS query_id, sn.vec_id AS neighbor_id
+        FROM lm_sigs sq
+        JOIN lm_sigs sn ON sn.bucket = sq.bucket AND sn.tbl = sq.tbl
+        WHERE sq.vec_id < 20 AND sn.vec_id != sq.vec_id
+      ) c
+      JOIN base q ON q.vec_id = c.query_id
+      JOIN base n ON n.vec_id = c.neighbor_id
+    ) p
+  ) WHERE rank <= 5
 ), approx AS (
   SELECT 'lsh' AS method, query_id, neighbor_id FROM lsh_top WHERE query_id < 20
   UNION ALL
   SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf_top
+  UNION ALL
+  SELECT 'lsh_multi' AS method, query_id, neighbor_id FROM lm_top
 ), tot AS (SELECT COUNT(*) AS total FROM exact_top
 ), nd AS (
   SELECT DISTINCT q.vec_id AS vec_a, n.vec_id AS vec_b
@@ -2220,7 +2258,7 @@ SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine FROM (
   SELECT m.method,
          CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
          CAST(t.total AS BIGINT) AS total
-  FROM (VALUES ('lsh'), ('ivf')) m(method)
+  FROM (VALUES ('lsh'), ('ivf'), ('lsh_multi')) m(method)
   LEFT JOIN (
     SELECT method, COUNT(*) AS hits
     FROM approx a JOIN exact_top e USING (query_id, neighbor_id)

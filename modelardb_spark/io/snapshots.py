@@ -103,7 +103,11 @@ class SnapshotCatalog:
     def current_version(self, name: str) -> int:
         """Latest committed version (0 = table does not exist yet).
         The hint file is advisory: probe upward from it so a crashed
-        writer that linked a manifest but not the hint is still seen."""
+        writer that linked a manifest but not the hint is still seen;
+        when the hinted version is missing (stale hint + expired
+        snapshots), fall back to listing the manifest directory —
+        expiry leaves a gap below the retained versions that pure
+        upward probing from 0 would misread as an empty table."""
         meta = self._meta(name)
         if not os.path.isdir(meta):
             return 0
@@ -116,7 +120,12 @@ class SnapshotCatalog:
             except ValueError:
                 v = 0
         if not os.path.exists(self._vfile(name, v)):
-            v = 0
+            versions = [
+                int(fn[1:9])
+                for fn in os.listdir(meta)
+                if fn.startswith("v") and fn.endswith(".json") and fn[1:9].isdigit()
+            ]
+            v = max(versions, default=0)
         while os.path.exists(self._vfile(name, v + 1)):
             v += 1
         return v

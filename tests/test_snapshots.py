@@ -272,3 +272,21 @@ def test_maintenance_job_on_snapshot_catalog(spark, sf_small, tmp_path):
     assert sorted(
         map(tuple, cat.read(spark, "rollup_1h").drop("part_day").collect())
     ) == before_1h
+
+
+def test_current_version_survives_stale_hint_after_expiry(spark, tmp_path):
+    """A crashed writer can leave the version hint stale; after expiry
+    removes old manifests, upward probing from 0 would misread the
+    table as empty — discovery must fall back to listing the retained
+    manifests."""
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path))
+    for i in range(4):
+        cat.append(_df(spark, [(f"r{i}", i, i)]), "t", ["part"])
+    cat.expire_snapshots("t", keep_last=2)  # v1, v2 gone; v3, v4 remain
+    # simulate the stale hint: point it at an expired version
+    with open(os.path.join(cat._meta("t"), "_current"), "w") as f:
+        f.write("1")
+    assert cat.current_version("t") == 4
+    assert len(_rows(cat.read(spark, "t"))) == 4
