@@ -12,9 +12,11 @@ a deterministic synthetic transcripts table (BASELINE.json metric),
 measured over derive -> gap-split -> fit -> segments -> 1m/1h/1d
 rollups, all materialized.
 
---scaling: runs the same headline pipeline at local[8] and local[32]
-(the sandbox stand-in for N vs 4N executors) and reports both
-throughputs + efficiency = (T_N8 / T_N32) / 4.
+--scaling: the same headline pipeline at local[1] vs local[4] (the
+sandbox's only unsaturated 4x rung; override with BENCH_SCALE_N/_4N)
+-> throughputs at both + efficiency = (tps_hi / tps_lo) / 4.
+--scaling-executors: the TRUE multi-executor rung — local-cluster with
+1 vs 4 real executor JVMs at fixed per-executor cores/memory.
 """
 
 from __future__ import annotations
