@@ -158,7 +158,7 @@ def main() -> None:
         import subprocess
 
         cores_per = int(os.environ.get("BENCH_EXECS_CORES", "4"))
-        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "4"))
         env_base = dict(
             os.environ,
             BENCH_SCALING_CONVS=os.environ.get("BENCH_SCALING_CONVS", "6000"),
@@ -224,7 +224,7 @@ def main() -> None:
         # BENCH_SCALE_N / BENCH_SCALE_4N (e.g. 4 and 16).
         lo = os.environ.get("BENCH_SCALE_N", "1")
         hi = os.environ.get("BENCH_SCALE_4N", "4")
-        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
+        rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "4"))
         env_base = dict(
             os.environ,
             BENCH_SCALING_CONVS=os.environ.get("BENCH_SCALING_CONVS", "6000"),
