@@ -14,18 +14,15 @@ identical, which validates the whole compression/reconstruction path.
 All timestamps are exposed as epoch-millis BIGINTs and floats widened
 to DOUBLE so value hashes are engine-independent.
 
-Coverage (round 4): 52 queries — 49 with exact DuckDB oracles, 3
-rows-only (rollup_1h_lossy: lossy VALUES are engine-defined, but its
-per-window COUNTs are oracled via rollup_1h_lossy_counts and its bound
-is hard-checked by the oracled lossy_bound_violations empty-set query;
-compression_stats / group_compression_stats: stored bytes/ratios are
-engine-defined, but their `points` columns are oracled via
-compression_points / group_compression_points — the group-vs-per-series
-win is asserted in tests/test_groupfit.py). Round-3 additions:
-tiered_rollup (retention tiers), ratio_routed_rollup_1h (reference
-dynamic split/join), dim_group_rollup_1h (dimension-driven cross-entity
-groups), and data_points_restricted (ViewDataPoint rewrite as a SQL
-table function).
+Coverage (round 6): 50 queries, every one with an exact DuckDB oracle.
+The former rows-only trio (rollup_1h_lossy / compression_stats /
+group_compression_stats) is hash-oracled via reference-replay literal
+SQL since round 5, so the round-4 "slice twin" queries that oracled
+their COUNT/points columns (rollup_1h_lossy_counts, compression_points,
+group_compression_points) became redundant and were retired in round 6
+— the roster is exactly 50 so the driver's 50-entry correctness window
+covers every registered query, including the round-4 time-series joins
+(asof_last_purchase, session_stats, session_lookup).
 """
 
 from __future__ import annotations
@@ -700,19 +697,6 @@ def _q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_stats(_segments(spark, sf_dir))
 
 
-def _q_compression_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracled slice of the compression accounting: the per-series
-    `points` column must equal the raw derived-series point count
-    exactly (Logger.java:120-127 counts every ingested data point) —
-    a plain COUNT on the oracle side. Stored bytes/ratios stay
-    rows-only in compression_stats (engine-defined)."""
-    from modelardb_spark.operators.rollup import compression_stats
-
-    return compression_stats(_segments(spark, sf_dir)).select(
-        "conv_id", "metric", F.col("points").cast("long").alias("points")
-    )
-
-
 def _q_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-restricted rollup: the point-time predicate is applied as a
     segment-overlap predicate before any reconstruction (the
@@ -781,27 +765,6 @@ def _q_rollup_1h_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
         derive_series_wide(transcripts_from_events(spark, sf_dir), lossy), lossy
     )
     return _std_rollup(rollup_from_segments(seg, HOUR_MS))
-
-
-def _q_rollup_1h_lossy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracled slice of the lossy pipeline: COUNT is exact at ANY error
-    bound because segment timestamps are lossless (start/end/interval
-    + gap splits carry every bin regardless of value compression —
-    SparkUDAF.scala:34-55 computes COUNT_S from timestamps alone), so
-    the per-window counts must equal the raw-points rollup's."""
-    lossy = EngineConfig(error_bound=5.0)
-    from modelardb_spark.operators.fit import fit_segments_wide
-    from modelardb_spark.operators.series import derive_series_wide
-
-    seg = fit_segments_wide(
-        derive_series_wide(transcripts_from_events(spark, sf_dir), lossy), lossy
-    )
-    return rollup_from_segments(seg, HOUR_MS).select(
-        "conv_id",
-        "metric",
-        F.col("window_ms").cast("long").alias("window_ms"),
-        F.col("cnt").cast("long").alias("cnt"),
-    )
 
 
 def _gsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,19 +887,6 @@ def _q_group_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.groupfit import group_compression_stats
 
     return group_compression_stats(_gsegments(spark, sf_dir))
-
-
-def _q_group_compression_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracled slice of the group-path accounting: summed stored
-    points per conversation must equal the raw derived-series count
-    over BOTH metrics (gaps-as-absent-tids means absent members store
-    nothing — TimeSeriesGroup.java:153-176), i.e. no point is dropped
-    or double-counted by the group protocol."""
-    from modelardb_spark.operators.groupfit import group_compression_stats
-
-    return group_compression_stats(_gsegments(spark, sf_dir)).select(
-        "conv_id", F.col("points").cast("long").alias("points")
-    )
 
 
 #: fixed "now" for the retention-tier query: 2024-02-01T00:00Z, just
@@ -1484,9 +1434,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "derived_rollup_1h": _q_derived_rollup_1h,
         "scaled_series": _q_scaled_series,
         "rollup_1h_lossy": _q_rollup_1h_lossy,
-        "rollup_1h_lossy_counts": _q_rollup_1h_lossy_counts,
         "compression_stats": _q_compression_stats,
-        "compression_points": _q_compression_points,
         "dim_filtered_rollup": _q_dim_filtered_rollup,
         "sql_surface_agg": _q_sql_surface_agg,
         "sql_surface_restrict": _q_sql_surface_restrict,
@@ -1499,7 +1447,6 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ratio_routed_rollup_1h": _q_ratio_routed_rollup_1h,
         "dim_group_rollup_1h": _q_dim_group_rollup_1h,
         "group_compression_stats": _q_group_compression_stats,
-        "group_compression_points": _q_group_compression_points,
         # training-data pipeline operators
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -1769,28 +1716,6 @@ WHERE n.next_ms IS NOT NULL
         "rollup_1m": _sql_raw_rollup(MINUTE_MS),
         "rollup_1h": _sql_raw_rollup(HOUR_MS),
         "rollup_1d": _sql_raw_rollup(DAY_MS),
-        "rollup_1h_lossy_counts": (
-            "WITH "
-            + _SQL_SERIES
-            + f"""
-SELECT conv_id, metric,
-       (bin_ms // {HOUR_MS}) * {HOUR_MS} AS window_ms,
-       COUNT(*) AS cnt
-FROM series
-GROUP BY 1, 2, 3
-"""
-        ),
-        "compression_points": (
-            "WITH "
-            + _SQL_SERIES
-            + "SELECT conv_id, metric, COUNT(*) AS points"
-            " FROM series GROUP BY 1, 2"
-        ),
-        "group_compression_points": (
-            "WITH "
-            + _SQL_SERIES
-            + "SELECT conv_id, COUNT(*) AS points FROM series GROUP BY 1"
-        ),
         "group_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "adaptive_rollup_1h": _sql_raw_rollup(HOUR_MS),
         "dynamic_group_rollup_1h": _sql_raw_rollup(HOUR_MS),
@@ -2330,9 +2255,23 @@ JOIN ivs i
 
 def _replay_sql_entries() -> dict[str, str]:
     """The reference-replay literal oracles, generated for the driver's
-    sf0.01 gate input. Falls back to rows-only checks (empty dict) if
-    the oracle-scale testdata is unavailable in this environment."""
+    sf0.01 gate input. Falls back to rows-only checks (empty dict) ONLY
+    when the oracle-scale testdata is unavailable in this environment —
+    any genuine replay bug (import error, numpy regression, a replay
+    assertion, a SQL typo) must propagate, not silently downgrade the
+    three replay-oracled queries to rows-only checks."""
+    import sys
+
+    import duckdb
+
     try:
         return _replay_literal_sqls()
-    except Exception:
+    except (FileNotFoundError, duckdb.IOException, duckdb.CatalogException) as e:
+        print(
+            "__spark_entry__: replay oracles unavailable (missing "
+            f"testdata at {_ORACLE_SF_DIR}): {e!r} — "
+            "compression_stats/group_compression_stats/rollup_1h_lossy "
+            "fall back to rows-only checks",
+            file=sys.stderr,
+        )
         return {}

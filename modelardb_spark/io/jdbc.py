@@ -15,13 +15,14 @@ same code at a networked PostgreSQL/MySQL URL — embedded Derby lives in
 one JVM and is only suitable for local mode, exactly like the
 reference's H2/SQLite-style single-node JDBC backends.
 
-Crash-safety note: `overwrite_partitions` is DELETE-then-INSERT of the
-named partitions. The two steps are separate transactions (the INSERT
-runs from executors), so a crash in between can leave a partition
-empty — the same non-atomic window the directory catalog has. The
-checkpoint layer re-runs any day without a `done` row, which rewrites
-the partition idempotently; full commit atomicity is the snapshot
-catalog's job (io/snapshots.py).
+Crash-safety: `overwrite_partitions` stages the incoming rows in a
+side table via the executor-parallel JDBC writer, then swaps them in
+with a SINGLE driver-side transaction (DELETE old partitions +
+``INSERT ... SELECT`` from the staging table, one commit) — a crash at
+any point leaves the target table either fully old or fully new for
+the touched partitions. The staging table itself is scratch and is
+recreated on the next run. Multi-statement snapshot-level atomicity
+across tables remains the snapshot catalog's job (io/snapshots.py).
 """
 
 from __future__ import annotations
@@ -79,6 +80,25 @@ class JdbcCatalog:
                 out.append(st.executeUpdate(s))
             st.close()
             return out
+        finally:
+            conn.close()
+
+    def _execute_txn(self, *stmts: str) -> list:
+        """Run all statements in ONE transaction on one connection:
+        either every statement commits or none does (crash/error ->
+        rollback). This is what makes partition overwrite atomic."""
+        conn = self._conn()
+        try:
+            conn.setAutoCommit(False)
+            try:
+                st = conn.createStatement()
+                out = [st.executeUpdate(s) for s in stmts]
+                st.close()
+                conn.commit()
+                return out
+            except Exception:
+                conn.rollback()
+                raise
         finally:
             conn.close()
 
@@ -144,14 +164,37 @@ class JdbcCatalog:
             w = w.option("createTableColumnTypes", col_types)
         w.mode(mode).save()
 
+    @staticmethod
+    def _sqlstate(exc: Exception) -> str | None:
+        """SQLState of a py4j-wrapped java.sql.SQLException (walking the
+        cause chain), or None if the error is not an SQLException."""
+        j = getattr(exc, "java_exception", None)
+        while j is not None:
+            get_state = getattr(j, "getSQLState", None)
+            if get_state is not None:
+                try:
+                    state = get_state()
+                except Exception:
+                    state = None
+                if state:
+                    return str(state)
+            j = j.getCause() if hasattr(j, "getCause") else None
+        return None
+
     def _ensure_index(self, name: str, df: DataFrame) -> None:
         if not all(c in df.columns for c in self.SEGMENT_INDEX_COLS):
             return
         cols = ", ".join(_q(c) for c in self.SEGMENT_INDEX_COLS)
         try:
             self._execute(f"CREATE INDEX {name}_time_idx ON {name} ({cols})")
-        except Exception:
-            pass  # already exists (Derby: ERROR X0Y32) — idempotent DDL
+        except Exception as e:
+            # idempotent ONLY for "object already exists" (Derby/SQL
+            # standard X0Y32); a genuinely failed DDL — bad identifier,
+            # permissions, connection error — must surface, or the
+            # JDBCStorage-parity secondary time index silently never
+            # exists
+            if self._sqlstate(e) != "X0Y32":
+                raise
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -167,20 +210,33 @@ class JdbcCatalog:
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
     ) -> None:
-        """DELETE the partitions present in `df`, then executor-parallel
-        INSERT — the JDBC rendering of dynamic partition overwrite,
-        idempotent per partition key."""
+        """Atomic dynamic partition overwrite: stage the incoming rows
+        in `{name}_stage` (executor-parallel JDBC write, scratch data —
+        a crash here touches nothing), then swap them in with ONE
+        driver-side transaction: DELETE the partitions present in the
+        staging table + ``INSERT ... SELECT`` + commit. Readers and a
+        crash at any point see either the old or the new partition
+        content, never an empty window."""
         if len(partition_by) != 1:
             raise NotImplementedError("JdbcCatalog: single partition column")
         if not self.exists(name):
             self.overwrite(df, name, partition_by)
             return
         col = partition_by[0]
-        vals = [r[0] for r in df.select(col).distinct().collect()]
-        if vals:
-            in_list = ", ".join(_sql_lit(v) for v in vals)
-            self._execute(f"DELETE FROM {name} WHERE {_q(col)} IN ({in_list})")
-        self._write(df, name, "append")
+        stage = f"{name}_stage"
+        if self.exists(stage):
+            self._execute(f"DROP TABLE {stage}")
+        self._write(df, stage, "overwrite")
+        cols = ", ".join(_q(c) for c in df.columns)
+        # the DELETE keys off the staging table itself (IN-subquery):
+        # type-correct for any partition column type and no driver-side
+        # value list to build
+        self._execute_txn(
+            f"DELETE FROM {name} WHERE {_q(col)} IN "
+            f"(SELECT DISTINCT {_q(col)} FROM {stage})",
+            f"INSERT INTO {name} ({cols}) SELECT {cols} FROM {stage}",
+        )
+        self._execute(f"DROP TABLE {stage}")
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         if not self.exists(name) or not values:
@@ -205,8 +261,9 @@ class JdbcCatalog:
                     "CREATE TABLE catalog_manifests "
                     '("name" VARCHAR(256) PRIMARY KEY, "info" CLOB)'
                 )
-            except Exception:
-                pass  # concurrent creator won
+            except Exception as e:
+                if self._sqlstate(e) != "X0Y32":
+                    raise  # only "already exists" (concurrent creator) is benign
 
     def write_manifest(self, name: str, info: dict) -> None:
         import time

@@ -83,12 +83,6 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(how)
-    if how == "left":
-        # surrogate row id: the unmatched-row recovery anti-joins on
-        # this single id — anti-joining on all point columns would
-        # re-emit any matched row containing a NULL (null-unsafe
-        # equality never matches it back to itself)
-        points = points.withColumn("_pid", F.monotonically_increasing_id())
     b_pts = points.withColumn(
         "_ib", (F.col(point_ts) / bucket_ms).cast("long")
     )
@@ -108,11 +102,24 @@ def interval_join(
         return joined.drop("_ib")
     ivcols = [c for c in intervals.columns if c not in on]
     matched = joined.drop("_ib")
-    missing = b_pts.join(
-        matched.select("_pid").distinct(), "_pid", "left_anti"
-    ).drop("_ib")
+    # Unmatched-row recovery: NULL-SAFE equality anti-join on every
+    # point column. A surrogate monotonically_increasing_id would be
+    # evaluated independently in the matched and anti-join branches and
+    # is nondeterministic under shuffles/task retries (rows silently
+    # dropped or duplicated); value equality is stable. eqNullSafe
+    # matches NULL-bearing rows back to themselves, and duplicate point
+    # rows are safe because value-identical copies match (and are
+    # excluded) or miss (and are kept) together — exactly the per-copy
+    # outcome a row id would give.
+    pcols = points.columns
+    p = points.alias("_ij_p")
+    m = matched.select(*pcols).alias("_ij_m")
+    cond = F.lit(True)
+    for c in pcols:
+        cond = cond & F.col(f"_ij_p.{c}").eqNullSafe(F.col(f"_ij_m.{c}"))
+    missing = p.join(m, cond, "left_anti").select(*pcols)
     for c in ivcols:
         missing = missing.withColumn(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
-    return matched.unionByName(missing).drop("_pid")
+    return matched.unionByName(missing)

@@ -84,6 +84,59 @@ def test_jdbc_partition_ops(spark, jdbc_root, tmp_path):
     assert cat.list_partitions("t", "part_day") == ["2"]
 
 
+def test_jdbc_overwrite_partitions_atomic(spark, tmp_path, monkeypatch):
+    """The partition swap is ONE transaction: a failure mid-swap (after
+    the DELETE statement) rolls back and the old partition content
+    survives; a crash before the swap (after staging) touches nothing;
+    a clean re-run then completes the overwrite."""
+    cat = JdbcCatalog(str(tmp_path / "db_atomic"))
+    df0 = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "k string, part_day int, v long"
+    )
+    cat.overwrite_partitions(df0, "t", ["part_day"])
+    new = spark.createDataFrame([("z", 2, 99)], "k string, part_day int, v long")
+
+    # crash BEFORE the swap transaction: staging written, target untouched
+    real_txn = JdbcCatalog._execute_txn
+    monkeypatch.setattr(
+        JdbcCatalog, "_execute_txn",
+        lambda self, *s: (_ for _ in ()).throw(RuntimeError("killed pre-swap")),
+    )
+    with pytest.raises(RuntimeError, match="killed pre-swap"):
+        cat.overwrite_partitions(new, "t", ["part_day"])
+    assert _rows(cat.read(spark, "t")) == [("a", 1, 10), ("b", 2, 20)]
+
+    # failure MID-transaction (DELETE executed, then a failing
+    # statement): Derby must roll the DELETE back
+    monkeypatch.setattr(
+        JdbcCatalog, "_execute_txn",
+        lambda self, *s: real_txn(
+            self, *s[:-1], "INSERT INTO t SELECT * FROM no_such_table"
+        ),
+    )
+    with pytest.raises(Exception):
+        cat.overwrite_partitions(new, "t", ["part_day"])
+    assert _rows(cat.read(spark, "t")) == [("a", 1, 10), ("b", 2, 20)]
+
+    # clean re-run completes the overwrite
+    monkeypatch.setattr(JdbcCatalog, "_execute_txn", real_txn)
+    cat.overwrite_partitions(new, "t", ["part_day"])
+    assert _rows(cat.read(spark, "t")) == [("a", 1, 10), ("z", 2, 99)]
+
+
+def test_jdbc_index_ddl_errors_surface(spark, tmp_path):
+    """_ensure_index is idempotent ONLY for Derby's X0Y32 (already
+    exists); a genuinely bad DDL must raise, not pass silently."""
+    cat = JdbcCatalog(str(tmp_path / "db_idx"))
+    df = spark.createDataFrame(
+        [("c1", 0, 1, 1.0)], "conv_id string, start_ms long, end_ms long, v double"
+    )
+    cat.overwrite(df, "seg_idx_t")          # creates the index
+    cat._ensure_index("seg_idx_t", df)      # X0Y32 swallowed: idempotent
+    with pytest.raises(Exception):          # table doesn't exist: surfaces
+        cat._ensure_index("no_such_table_xyz", df)
+
+
 def test_jdbc_manifest_round_trip(spark, tmp_path):
     cat = JdbcCatalog(str(tmp_path / "db3"))
     assert cat.read_manifest("segments") is None
