@@ -74,6 +74,11 @@ def main() -> None:
                     help="rewrite tables to one file per partition")
     ap.add_argument("--expire-keep", type=int, default=None,
                     help="snapshot catalog: keep newest N snapshots, GC the rest")
+    ap.add_argument("--expire-grace-min", type=float, default=10.0,
+                    help="GC grace period in minutes: unreferenced files "
+                    "younger than this are presumed in-flight commits and "
+                    "kept, so expiry is safe to run concurrently with "
+                    "writers (0 = immediate GC, writers must be quiesced)")
     args = ap.parse_args()
 
     from modelardb_spark.io.snapshots import SnapshotCatalog, make_catalog
@@ -97,7 +102,9 @@ def main() -> None:
         if not isinstance(catalog, SnapshotCatalog):
             raise SystemExit("--expire-keep requires --catalog snapshot")
         report["expired"] = {
-            t: catalog.expire_snapshots(t, args.expire_keep)
+            t: catalog.expire_snapshots(
+                t, args.expire_keep, older_than_s=args.expire_grace_min * 60
+            )
             for t in ROLLUP_TABLES
             if catalog.exists(t)
         }

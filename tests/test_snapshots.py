@@ -117,7 +117,7 @@ def test_drop_partitions_is_metadata_only_and_expire_gcs(spark, tmp_path):
     assert _rows(cat.read(spark, "t")) == [("a", 1, 1)]
     assert _rows(cat.read(spark, "t", version=1)) == [("a", 1, 1), ("b", 2, 2)]
     # ...until expiry reclaims what no retained snapshot references
-    gone = cat.expire_snapshots("t", keep_last=1)
+    gone = cat.expire_snapshots("t", keep_last=1, older_than_s=0)
     assert gone["manifests"] == 1 and gone["data_files"] >= 1
     assert _rows(cat.read(spark, "t")) == [("a", 1, 1)]
     with pytest.raises(Exception):
@@ -131,7 +131,7 @@ def test_rewrite_data_files_compacts(spark, tmp_path):
     before = len(cat.read(spark, "t").inputFiles())
     rows = _rows(cat.read(spark, "t"))
     cat.rewrite_data_files(spark, "t", ["part"])
-    cat.expire_snapshots("t", keep_last=1)
+    cat.expire_snapshots("t", keep_last=1, older_than_s=0)
     after = len(cat.read(spark, "t").inputFiles())
     assert _rows(cat.read(spark, "t")) == rows
     assert after <= 2 < before  # one file per partition
@@ -262,7 +262,7 @@ def test_maintenance_job_on_snapshot_catalog(spark, sf_small, tmp_path):
 
     compact_tables(spark, cat)
     expired = {
-        t: cat.expire_snapshots(t, keep_last=1)
+        t: cat.expire_snapshots(t, keep_last=1, older_than_s=0)
         for t in ["segments", "rollup_1m", "rollup_1h", "rollup_1d"]
     }
     assert sum(e["data_files"] for e in expired.values()) > 0
@@ -272,6 +272,127 @@ def test_maintenance_job_on_snapshot_catalog(spark, sf_small, tmp_path):
     assert sorted(
         map(tuple, cat.read(spark, "rollup_1h").drop("part_day").collect())
     ) == before_1h
+
+
+def test_expiry_grace_period_spares_in_flight_commit(spark, tmp_path):
+    """expire_snapshots running CONCURRENTLY with a writer must not
+    sweep the writer's staged-but-unlinked files: the grace period
+    (mtime < older_than_s) spares them, and the commit completes and
+    reads back intact afterwards. Old unreferenced files (aged past
+    the grace) are still reclaimed in the same pass."""
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.overwrite(_df(spark, [("a", 1, 10)]), "t", ["part"])
+    cat.overwrite_partitions(_df(spark, [("a2", 1, 11)]), "t", ["part"])
+    # v1's files are now unreferenced by the head; age them artificially
+    old = set(cat.read(spark, "t", version=1).inputFiles())
+    for f in old:
+        p = f.replace("file:", "")
+        os.utime(p, (1, 1))
+
+    # an in-flight commit: data + manifest files staged, list NOT linked
+    writer = SnapshotCatalog(str(tmp_path))
+    staged_rows = writer._write_files(
+        _df(spark, [("w", 2, 20)]), "t", ["part"]
+    )
+    gone = cat.expire_snapshots("t", keep_last=1, older_than_s=300)
+    # aged v1 files reclaimed, fresh staged files spared
+    assert gone["data_files"] >= 1
+    staged_data = [
+        os.path.join(cat._data("t"), e["path"])
+        for m in staged_rows
+        for e in writer._load_manifest_file("t", m["path"])
+    ]
+    assert staged_data and all(os.path.exists(p) for p in staged_data)
+    # the in-flight commit now completes (append semantics) and reads
+    writer._commit(
+        "t", "append", lambda base: base + staged_rows,
+        schema_json=_df(spark, [("w", 2, 20)]).schema.json(),
+        check_schema=True,
+    )
+    assert _rows(cat.read(spark, "t")) == [("a2", 1, 11), ("w", 2, 20)]
+
+
+def test_commit_cost_bounded_by_touched_partitions(spark, tmp_path):
+    """Sharded manifests: metadata ops on a table with MANY partitions
+    never open untouched manifest files — drop/dynamic-overwrite edit
+    the manifest list only, and a partition-pruned read parses exactly
+    the matching manifests. (This is what keeps commit cost O(touched)
+    instead of O(all files) at 100 TB.)"""
+    import json as _json
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.overwrite(_df(spark, [("a", 1, 1), ("b", 2, 2), ("c", 3, 3)]), "t", ["part"])
+    # fabricate a large manifest list (simulating 1000 partitions) by
+    # cloning list rows to fake manifest paths — their files do NOT
+    # exist, so any attempt to open an untouched manifest would raise
+    man = cat.manifest("t")
+    fake = [
+        dict(man["manifests"][0], path=f"manifests/m-fake{i}.json",
+             partition={"part": str(100 + i)})
+        for i in range(1000)
+    ]
+    man["manifests"] = man["manifests"] + fake
+    man["version"] += 1
+    man["parent"] = man["version"] - 1
+    with open(cat._vfile("t", man["version"]), "w") as f:
+        _json.dump(man, f)
+
+    opened = []
+    real_load = SnapshotCatalog._load_manifest_file
+
+    def counting_load(self, name, relpath):
+        opened.append(relpath)
+        return real_load(self, name, relpath)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(SnapshotCatalog, "_load_manifest_file", counting_load)
+    try:
+        # metadata-only ops: zero manifest files opened
+        assert cat.drop_partitions("t", "part", [2]) == 1
+        cat.overwrite_partitions(_df(spark, [("z", 3, 33)]), "t", ["part"])
+        assert len(cat.list_partitions("t", "part")) == 1002
+        assert opened == []
+        # pruned read opens exactly the one matching manifest
+        assert _rows(cat.read(spark, "t", partition_filter={"part": [1]})) == [
+            ("a", 1, 1)
+        ]
+        assert len(opened) == 1
+    finally:
+        mp.undo()
+
+
+def test_schema_evolution_additive_only(spark, tmp_path):
+    """Additive evolution appends a NEW column (old files read NULL);
+    changing or dropping an existing column is rejected AT COMMIT with
+    a clear error instead of breaking every later read."""
+    from modelardb_spark.io.snapshots import SchemaMismatch
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.overwrite(_df(spark, [("a", 1, 10)]), "t", ["part"])
+    # additive: extra column lands; old rows read it as NULL
+    plus = spark.createDataFrame(
+        [("b", 2, 20, "x")], "k string, part int, v long, tag string"
+    )
+    cat.append(plus, "t", ["part"])
+    got = {
+        (r["k"], r["tag"]) for r in cat.read(spark, "t").collect()
+    }
+    assert got == {("a", None), ("b", "x")}
+    # type change: rejected at commit
+    bad_type = spark.createDataFrame([("c", 3, 3.5)], "k string, part int, v double")
+    with pytest.raises(SchemaMismatch, match="v: bigint -> double"):
+        cat.append(bad_type, "t", ["part"])
+    # dropped column: rejected at commit
+    bad_drop = spark.createDataFrame([("d", 4)], "k string, part int")
+    with pytest.raises(SchemaMismatch, match="v: bigint -> DROPPED"):
+        cat.overwrite_partitions(bad_drop, "t", ["part"])
+    # the table is still exactly as it was before the bad commits
+    assert len(_rows(cat.read(spark, "t"))) == 2
 
 
 def test_current_version_survives_stale_hint_after_expiry(spark, tmp_path):
@@ -284,7 +405,7 @@ def test_current_version_survives_stale_hint_after_expiry(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path))
     for i in range(4):
         cat.append(_df(spark, [(f"r{i}", i, i)]), "t", ["part"])
-    cat.expire_snapshots("t", keep_last=2)  # v1, v2 gone; v3, v4 remain
+    cat.expire_snapshots("t", keep_last=2, older_than_s=0)  # v1, v2 gone
     # simulate the stale hint: point it at an expired version
     with open(os.path.join(cat._meta("t"), "_current"), "w") as f:
         f.write("1")
