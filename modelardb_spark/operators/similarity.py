@@ -732,6 +732,7 @@ def lsh_topk_multi(
     tables: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_task_rows: int = 32768,
 ) -> DataFrame:
     """Multi-table LSH approximate top-k: candidates are vectors that
     share a bucket with the query in >= 1 of `tables` independent
@@ -749,12 +750,19 @@ def lsh_topk_multi(
 
     Scale shape: signatures are ONE map-only BLAS pass
     (lsh_buckets_multi); the candidate join is equi-keyed on
-    (tbl, bucket) with AQE skew handling, DISTINCT bounds re-scoring
-    to one per (query, neighbor); scoring is whole-stage-codegen JVM
-    (no Python); shuffle volume is O(q x tables + candidates), never
-    O(n^2). Unlike `lsh_topk` (one bucket per vector, rank exact
-    WITHIN the bucket) the union of tables requires a global per-query
-    re-rank — the extra window is the price of the recall."""
+    (tbl, bucket, slice) — a HOT bucket of B rows is hash-cut into
+    ``P = ceil(B / max_task_rows)`` neighbor slices and the query side
+    replicated across them (the same slice-grid cap `lsh_topk` uses),
+    so no join task ever holds more than ~max_task_rows neighbor rows
+    regardless of how skewed the signature distribution is; the
+    candidate SET is unchanged (each neighbor lives in exactly one
+    slice, so every colliding pair still meets exactly once). DISTINCT
+    bounds re-scoring to one per (query, neighbor); scoring is
+    whole-stage-codegen JVM (no Python); shuffle volume is
+    O(q x tables x P_hot + candidates), never O(n^2). Unlike
+    `lsh_topk` (one bucket per vector, rank exact WITHIN the bucket)
+    the union of tables requires a global per-query re-rank — the
+    extra window is the price of the recall."""
     from pyspark.sql import Window
 
     sigs = lsh_buckets_multi(emb, bits, tables, seed, dim=dim)
@@ -764,9 +772,25 @@ def lsh_topk_multi(
         qsigs = sigs.join(
             queries.select(F.col("vec_id")), "vec_id", "left_semi"
         )
+    # per-(tbl,bucket) sizes: <= tables x 2^bits rows, broadcastable
+    # (1M rows even at 16 tables x 16 bits)
+    sizes = sigs.groupBy("tbl", "bucket").agg(F.count("*").alias("bsize"))
+    n_slices = F.greatest(
+        F.lit(1), F.ceil(F.col("bsize") / F.lit(max_task_rows))
+    ).cast("int")
+    nside = (
+        sigs.join(F.broadcast(sizes), ["tbl", "bucket"])
+        .withColumn(
+            "slc", F.pmod(F.xxhash64("vec_id"), n_slices).cast("int")
+        )
+    )
+    qside = (
+        qsigs.join(F.broadcast(sizes), ["tbl", "bucket"])
+        .withColumn("slc", F.explode(F.sequence(F.lit(0), n_slices - 1)))
+    )
     cand = (
-        qsigs.alias("x")
-        .join(sigs.alias("y"), ["tbl", "bucket"])
+        qside.alias("x")
+        .join(nside.alias("y"), ["tbl", "bucket", "slc"])
         .where(F.col("x.vec_id") != F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("query_id"),

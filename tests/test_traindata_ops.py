@@ -26,6 +26,7 @@ from modelardb_spark.operators.similarity import (
     embedding_near_dup_bruteforce,
     load_embeddings,
     lsh_topk,
+    lsh_topk_multi,
 )
 from modelardb_spark.operators.textstats import (
     language_id,
@@ -137,6 +138,56 @@ def test_lsh_topk_bounded_hot_bucket(spark):
         (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"]) for r in rs
     }
     assert as_set(bounded) == as_set(unbounded)
+    emb.unpersist()
+
+
+def test_lsh_topk_multi_bounded_hot_bucket(spark):
+    """The multi-table candidate join carries the same slice-grid cap
+    as `lsh_topk`: plant one oversized bucket (collinear positive
+    scalings collide in EVERY table) and verify (a) after slicing, no
+    (tbl, bucket, slice) join group holds more than ~max_task_rows
+    neighbor rows — the quantity that bounds the join task — and (b)
+    the capped output equals the effectively-uncapped output exactly
+    (slicing repartitions the candidate pairs, it never changes the
+    candidate set)."""
+    from pyspark.sql import functions as F
+
+    from modelardb_spark.operators.similarity import lsh_buckets_multi
+
+    base = np.linspace(0.1, 1.0, 64)
+    rows = [
+        (i, ((1.0 + 0.001 * i) * base).astype(np.float32).tolist())
+        for i in range(600)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    cap = 64
+    # (a) replicate the operator's slicing and measure the worst group
+    sigs = lsh_buckets_multi(emb, bits=4, tables=4, seed=42)
+    sizes = sigs.groupBy("tbl", "bucket").agg(F.count("*").alias("bsize"))
+    hot = sizes.agg(F.max("bsize")).first()[0]
+    assert hot == 600  # the plant really made every table one hot bucket
+    n_slices = F.greatest(F.lit(1), F.ceil(F.col("bsize") / F.lit(cap))).cast("int")
+    worst = (
+        sigs.join(sizes, ["tbl", "bucket"])
+        .withColumn("slc", F.pmod(F.xxhash64("vec_id"), n_slices).cast("int"))
+        .groupBy("tbl", "bucket", "slc")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert worst <= 2 * cap  # hash split holds; no task sees the full bucket
+    # (b) identical results, capped vs uncapped
+    as_set = lambda rs: {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"]) for r in rs
+    }
+    capped = lsh_topk_multi(
+        emb, k=3, bits=4, tables=4, max_task_rows=cap
+    ).collect()
+    uncapped = lsh_topk_multi(
+        emb, k=3, bits=4, tables=4, max_task_rows=1 << 20
+    ).collect()
+    assert len(capped) == 600 * 3
+    assert as_set(capped) == as_set(uncapped)
     emb.unpersist()
 
 
