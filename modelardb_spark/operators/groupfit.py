@@ -866,6 +866,7 @@ def fit_segments_adaptive(
     threshold: float = 0.2,
     per_day: bool = False,
     broadcast_routing: bool = True,
+    checkpoint: str = "local",
 ) -> tuple[DataFrame, DataFrame]:
     """Route each conversation (or, with per_day=True, each
     conversation-day — the dynamic split/join analogue) to GROUP or
@@ -883,7 +884,17 @@ def fit_segments_adaptive(
     instead of twice). Set False when the conversation(-day) count
     itself is too large to broadcast (billions of keys): the join
     falls back to a shuffle join on the same keys the fit shuffles on,
-    so the routing exchange co-locates with the fit exchange."""
+    so the routing exchange co-locates with the fit exchange.
+
+    `checkpoint` picks how the shared routed frame is materialized for
+    the two branches: "local" (default) = localCheckpoint — executor-
+    local blocks, cheapest, right for local mode and dedicated
+    clusters, but executor loss fails the job (lineage is truncated);
+    "reliable" = spark.checkpoint to the session's checkpoint dir
+    (``SparkContext.setCheckpointDir`` — point it at durable storage,
+    e.g. the catalog root), which survives executor loss/preemption at
+    the cost of one write+read of the bins-sized frame — the right
+    setting on preemptible/spot clusters."""
     from modelardb_spark.operators.fit import fit_segments_wide
 
     def _route(frame):
@@ -903,16 +914,24 @@ def fit_segments_adaptive(
             _route(correlated_conversations(wide_series, metrics, threshold)),
             "conv_id",
         )
-    # both branches consume the SAME routed frame: localCheckpoint
-    # (lazy) materializes it once at the first branch's action and the
-    # second branch reuses the blocks. Unlike persist(), the blocks are
-    # RDD-scoped — the ContextCleaner frees them when the returned
-    # frames are garbage-collected, so a long-lived query-server
-    # session does not accumulate one CacheManager entry per call.
-    # Tradeoff: lineage is truncated, so executor loss fails the job
-    # instead of recomputing — acceptable for a bins-sized (~40B/row)
-    # intermediate that any retry rebuilds from source.
-    routed = routed.localCheckpoint(eager=False)
+    # both branches consume the SAME routed frame: a (lazy) checkpoint
+    # materializes it once at the first branch's action and the second
+    # branch reuses it. Unlike persist(), the blocks are RDD-scoped —
+    # the ContextCleaner frees them when the returned frames are
+    # garbage-collected, so a long-lived query-server session does not
+    # accumulate one CacheManager entry per call.
+    if checkpoint == "reliable":
+        sc = routed.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            raise ValueError(
+                "checkpoint='reliable' needs SparkContext.setCheckpointDir("
+                "<durable path, e.g. the catalog root>) before the fit"
+            )
+        routed = routed.checkpoint(eager=False)
+    elif checkpoint == "local":
+        routed = routed.localCheckpoint(eager=False)
+    else:
+        raise ValueError(f"checkpoint must be 'local' or 'reliable': {checkpoint}")
     g = fit_segments_grouped(
         routed.where(F.col("grouped")).drop("grouped"), cfg, metrics
     )

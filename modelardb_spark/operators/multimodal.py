@@ -132,8 +132,9 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 # PCM-16 WAV are fully encodable/decodable without external libraries,
 # so the engine's multimodal path is REAL end-to-end for these formats
 # — binary in, distributed header parse + pixel/sample decode, features
-# out. Only formats that genuinely need codec libraries (JPEG decode,
-# MP4/video) remain behind `decode_stub`.
+# out. JPEG gets a real header parser (marker walk → SOF geometry —
+# works on any real JPEG file); only full JPEG pixel decode and real
+# video codecs (MP4 etc.) remain behind `decode_stub`.
 # ---------------------------------------------------------------------------
 
 import struct
@@ -194,6 +195,65 @@ def parse_png_header(data: bytes) -> tuple[int, int]:
     return struct.unpack(">II", data[16:24])
 
 
+# JFIF marker-stream geometry. Full JPEG pixel decode (DCT + Huffman)
+# stays behind `decode_stub` — the external-codec boundary — but the
+# header scan is pure marker arithmetic and works on ANY real JPEG:
+# walk FF-prefixed segments, skip by each segment's big-endian length,
+# stop at the first start-of-frame and read precision/height/width.
+_JPEG_SOF = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+def parse_jpeg_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOFn segment of a JPEG/JFIF
+    stream. Handles fill bytes, standalone markers (TEM/RSTn), and any
+    APPn/DQT/DHT/COM segments before the frame header."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: frame header must precede
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            _prec, h, w = struct.unpack(">BHH", data[pos + 4 : pos + 9])
+            return w, h
+        pos += 2 + seg_len
+    raise ValueError("no JPEG frame header (SOF) found")
+
+
+def encode_jpeg_shell(pixels: np.ndarray) -> bytes:
+    """Structurally valid baseline-JPEG stream (SOI, JFIF APP0, DQT,
+    SOF0 with the REAL geometry, DHT, SOS, FF-stuffed entropy bytes,
+    EOI) carrying the pixel bytes as its entropy segment. This is a
+    container writer, not a pixel codec — the entropy data is not real
+    Huffman/DCT output, so only header parsing (geometry, marker walk)
+    is meaningful on it; pixel decode stays behind `decode_stub`."""
+    h, w = pixels.shape
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    # one-symbol DC table (counts for code lengths 1..16, then symbols)
+    dht = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    entropy = pixels.astype(np.uint8).tobytes().replace(b"\xff", b"\xff\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Minimal valid mono PCM-16 WAV (RIFF/fmt/data)."""
     body = samples.astype("<i2").tobytes()
@@ -245,7 +305,13 @@ def synthetic_media_encoded(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 if kind == "image":
                     w, h = did % 48 + 8, did % 32 + 8
                     px = np.resize(b if b.size else np.zeros(1, np.uint8), (h, w))
-                    payload, mime = encode_png_gray(px), "image/png"
+                    if did % 6 == 3:
+                        # every other image row is a JPEG marker stream
+                        # (same geometry formulas) so the decode side
+                        # exercises the JFIF header walk, not just PNG
+                        payload, mime = encode_jpeg_shell(px), "image/jpeg"
+                    else:
+                        payload, mime = encode_png_gray(px), "image/png"
                     dur = None
                 elif kind == "audio":
                     samples = (b.astype(np.int16) - 128) * 256
@@ -294,10 +360,11 @@ DECODE_SCHEMA = StructType(
 
 def media_decode(media: DataFrame) -> DataFrame:
     """REAL distributed decode over the binary column: PNG headers +
-    pixels and WAV headers + samples parse in a map-only mapInPandas
-    stage (payloads never shuffle; only the small decoded-metadata
-    frame leaves the stage). Video rows pass through with NULLs — the
-    honest boundary where an external codec would plug in."""
+    pixels, JPEG headers (marker walk), WAV headers + samples, and MDBV
+    video frames parse in a map-only mapInPandas stage (payloads never
+    shuffle; only the small decoded-metadata frame leaves the stage).
+    JPEG pixel content stays NULL — the honest boundary where an
+    external codec would plug in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -310,9 +377,15 @@ def media_decode(media: DataFrame) -> DataFrame:
                 data = bytes(payload)
                 w = h = rate = n = nf = dur = mean = None
                 if kind == "image":
-                    w, h = parse_png_header(data)
-                    px = decode_png_gray(data)
-                    mean = float(np.round(px.astype(np.float64).mean(), 4))
+                    if data[:2] == b"\xff\xd8":
+                        # real JFIF marker walk; pixel decode of JPEG is
+                        # the documented external-codec boundary, so
+                        # content_mean stays NULL for these rows
+                        w, h = parse_jpeg_header(data)
+                    else:
+                        w, h = parse_png_header(data)
+                        px = decode_png_gray(data)
+                        mean = float(np.round(px.astype(np.float64).mean(), 4))
                 elif kind == "audio":
                     rate, samples = decode_wav_pcm16(data)
                     n = int(samples.size)

@@ -340,6 +340,37 @@ def test_adaptive_fit_does_not_leak_cached_rdds(spark, wide):
     )
 
 
+def test_adaptive_fit_reliable_checkpoint(spark, wide, tmp_path):
+    """checkpoint='reliable' writes the shared routed frame to the
+    session's checkpoint dir (survives executor loss — the
+    preemptible-cluster setting) and produces exactly the same segments
+    as the default localCheckpoint path; without a checkpoint dir it
+    fails fast with a clear error."""
+    from modelardb_spark.operators.groupfit import fit_segments_adaptive
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    if not prev:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            fit_segments_adaptive(wide, CFG, checkpoint="reliable")
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        g_r, p_r = fit_segments_adaptive(wide, CFG, checkpoint="reliable")
+        g_l, p_l = fit_segments_adaptive(wide, CFG, checkpoint="local")
+        rows = lambda df: sorted(map(tuple, df.collect()))
+        assert rows(g_r) == rows(g_l)
+        assert rows(p_r) == rows(p_l)
+        import os
+
+        assert any(os.scandir(ckdir))  # the reliable checkpoint landed
+        with pytest.raises(ValueError, match="local.*reliable|reliable"):
+            fit_segments_adaptive(wide, CFG, checkpoint="bogus")
+    finally:
+        if prev:
+            sc.setCheckpointDir(prev)
+
+
 def test_group_fit_matches_sequential_replay(spark, wide, gseg):
     """The vectorized group cascade must emit exactly the segments the
     sequential reference-style replay produces (same greedy fold over

@@ -267,6 +267,40 @@ def test_multimodal_stub_contract(spark, docs):
     np.testing.assert_array_equal(f1, f2)
 
 
+def test_jpeg_header_codec_roundtrip():
+    """parse_jpeg_header is a real JFIF marker walk: it recovers the
+    SOF0 geometry from the shell encoder's output, skips arbitrary
+    preceding APPn/COM segments and fill bytes, tolerates FF-stuffed
+    entropy data (by never scanning past SOS), and rejects non-JPEG
+    and frame-header-less streams."""
+    from modelardb_spark.operators.multimodal import (
+        encode_jpeg_shell,
+        parse_jpeg_header,
+    )
+
+    px = (np.arange(13 * 37, dtype=np.int64) % 256).astype(np.uint8).reshape(13, 37)
+    px[0, :4] = 255  # forces FF-stuffing in the entropy segment
+    data = encode_jpeg_shell(px)
+    assert parse_jpeg_header(data) == (37, 13)
+
+    # extra APPn/COM segments and fill bytes before SOF (real files
+    # carry EXIF/ICC blocks there) must be skipped, not tripped over
+    import struct
+
+    app1 = struct.pack(">BBH", 0xFF, 0xE1, 9) + b"Exif\x00\x00\x00"
+    com = struct.pack(">BBH", 0xFF, 0xFE, 7) + b"hello"
+    padded = data[:2] + b"\xff" + app1 + com + data[2:]
+    assert parse_jpeg_header(padded) == (37, 13)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_jpeg_header(b"\x89PNG\r\n\x1a\n")
+    # SOI followed directly by SOS: no frame header to report
+    with pytest.raises(ValueError, match="SOF"):
+        parse_jpeg_header(
+            b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xDA, 8) + b"\x01\x01\x00\x00\x3f\x00"
+        )
+
+
 def test_frame_sample_plan(spark, docs):
     media = synthetic_media(spark, docs.limit(30))
     plan = frame_sample_plan(media, every_ms=1000)
@@ -386,9 +420,19 @@ def test_media_codecs_round_trip_distributed(spark, sf_small):
         g = got[r["media_id"]]
         data = bytes(r["payload"])
         if r["kind"] == "image":
-            px = decode_png_gray(data)
-            assert (g["height"], g["width"]) == px.shape
-            assert abs(g["content_mean"] - px.astype(float).mean()) < 1e-3
+            if r["mime"] == "image/jpeg":
+                from modelardb_spark.operators.multimodal import parse_jpeg_header
+
+                assert data[:2] == b"\xff\xd8"
+                assert (g["width"], g["height"]) == parse_jpeg_header(data)
+                # same geometry formulas as the PNG rows
+                assert g["width"] == r["media_id"] % 48 + 8
+                assert g["height"] == r["media_id"] % 32 + 8
+                assert g["content_mean"] is None  # external-codec boundary
+            else:
+                px = decode_png_gray(data)
+                assert (g["height"], g["width"]) == px.shape
+                assert abs(g["content_mean"] - px.astype(float).mean()) < 1e-3
         elif r["kind"] == "audio":
             rate, samples = decode_wav_pcm16(data)
             assert g["sample_rate"] == rate == 8000
