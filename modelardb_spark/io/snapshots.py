@@ -555,13 +555,19 @@ class SnapshotCatalog:
 def make_catalog(root: str, fmt: str = "parquet", kind: str = "dir"):
     """Catalog factory: "dir" = TableCatalog (partition-dir layout),
     "snapshot" = SnapshotCatalog (ACID manifest commits), "jdbc" =
-    JdbcCatalog (RDBMS backend, JDBCStorage.scala parity)."""
+    JdbcCatalog (RDBMS backend, JDBCStorage.scala parity), "cql" =
+    CqlCatalog (Cassandra layout: token-bucketed partition key +
+    clustering order, CassandraStorage.scala parity)."""
     if kind == "snapshot":
         return SnapshotCatalog(root, fmt)
     if kind == "jdbc":
         from modelardb_spark.io.jdbc import JdbcCatalog
 
         return JdbcCatalog(root)
+    if kind == "cql":
+        from modelardb_spark.io.cql import CqlCatalog
+
+        return CqlCatalog(root, fmt)
     from modelardb_spark.io.tables import TableCatalog
 
     if kind != "dir":

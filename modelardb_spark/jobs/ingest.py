@@ -235,7 +235,7 @@ def main() -> None:
                          "threshold (reference default 0.10)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
                     help="segment/rollup table format (ORCStorage parity)")
-    ap.add_argument("--catalog", default="dir", choices=["dir", "snapshot", "jdbc"],
+    ap.add_argument("--catalog", default="dir", choices=["dir", "snapshot", "jdbc", "cql"],
                     help="table layout: partition dirs or ACID snapshot commits")
     args = ap.parse_args()
 

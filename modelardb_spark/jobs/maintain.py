@@ -61,7 +61,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root", required=True, help="catalog root")
     ap.add_argument("--catalog", default="dir",
-                    choices=["dir", "snapshot", "jdbc"])
+                    choices=["dir", "snapshot", "jdbc", "cql"])
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"])
     ap.add_argument("--retention", action="store_true",
                     help="apply the tiered age policy")

@@ -185,7 +185,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--events", help="events parquet to fit on the fly")
     ap.add_argument("--segments-dir", help="ingest output root with segments/")
     ap.add_argument("--catalog", default="dir",
-                    choices=["dir", "snapshot", "jdbc"],
+                    choices=["dir", "snapshot", "jdbc", "cql"],
                     help="segments-dir table layout")
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
                     help="stored segments format (must match the ingest"

@@ -227,9 +227,9 @@ def main() -> None:
     ap.add_argument("--src-format", default="parquet", choices=["parquet", "orc"])
     ap.add_argument("--dst-format", default="parquet", choices=["parquet", "orc"])
     ap.add_argument("--src-catalog", default="dir",
-                    choices=["dir", "snapshot", "jdbc"])
+                    choices=["dir", "snapshot", "jdbc", "cql"])
     ap.add_argument("--dst-catalog", default="dir",
-                    choices=["dir", "snapshot", "jdbc"])
+                    choices=["dir", "snapshot", "jdbc", "cql"])
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark
