@@ -629,22 +629,27 @@ def _q_hour_of_day_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_hour_12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar cube on the reference's 12-hour-clock HOUR field
-    (Calendar.HOUR, SparkUDAF.scala:360 TimeCount(10, 25))."""
-    from modelardb_spark.operators.rollup import calendar_rollup
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup canonicalization: connected components over
+    the MinHash+LSH verified pairs. One row per document with the
+    component minimum as cluster_rep — "keep cluster_rep, drop the
+    rest" is the exact transitive-dedup step of a training-data
+    pipeline, and cluster_size the dedup-aware sampling weight.
+    (hour_12_cube retired r6 to keep the roster at 50: the 12-hour
+    field — and every other calendar field — is unit-tested against a
+    brute-force oracle in test_calendar_rollup_all_fields.)"""
+    from modelardb_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from modelardb_spark.operators.textstats import load_documents
 
-    r1h = rollup_from_segments(_segments(spark, sf_dir), HOUR_MS)
-    cube = calendar_rollup(r1h, "hour")
-    return cube.select(
-        "conv_id",
-        "metric",
-        F.col("field").cast("int").alias("field"),
-        F.col("cnt").cast("long").alias("cnt"),
-        F.col("vmin").cast("double").alias("vmin"),
-        F.col("vmax").cast("double").alias("vmax"),
-        F.col("vsum").cast("double").alias("vsum"),
-        F.col("mean").cast("double").alias("mean"),
+    docs = load_documents(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.35)
+    return duplicate_clusters(pairs, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_rep").cast("long").alias("cluster_rep"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
     )
 
 
@@ -1149,8 +1154,16 @@ norm_docs AS (
 """
 
 
-def _sql_jaccard_tail(threshold: float, candidates: str) -> str:
-    return f"""
+def _sql_jaccard_tail(threshold: float, candidates: str, as_cte: bool = False) -> str:
+    select = f"""SELECT * FROM (
+  SELECT doc_a, doc_b,
+         round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes za ON doc_a = za.doc_id
+  JOIN sizes zb ON doc_b = zb.doc_id
+)
+WHERE jaccard >= {threshold}"""
+    ctes = f"""
 sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
 ), inter AS (
@@ -1158,19 +1171,13 @@ sizes AS (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   {candidates}
   GROUP BY 1, 2
-)
-SELECT * FROM (
-  SELECT doc_a, doc_b,
-         round(n_inter / CAST(za.n_sh + zb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
-  FROM inter
-  JOIN sizes za ON doc_a = za.doc_id
-  JOIN sizes zb ON doc_b = zb.doc_id
-)
-WHERE jaccard >= {threshold}
-"""
+)"""
+    if as_cte:
+        return ctes + ", pairs AS (\n" + select + "\n)"
+    return ctes + "\n" + select + "\n"
 
 
-def _sql_minhash() -> str:
+def _sql_minhash(as_cte: bool = False) -> str:
     from modelardb_spark.operators.dedup import BANDS, ROWS_PER_BAND
 
     k = BANDS * ROWS_PER_BAND
@@ -1201,7 +1208,36 @@ mins AS (
         + _sql_jaccard_tail(
             0.35,
             "JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id",
+            as_cte=as_cte,
         )
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    """Connected components over the minhash-LSH pairs: a recursive
+    CTE propagates every reachable label, MIN per node is the
+    component minimum (the same fixed point duplicate_clusters reaches
+    via pointer-jumped min-label propagation)."""
+    return (
+        _sql_minhash(as_cte=True).replace("WITH ", "WITH RECURSIVE ", 1)
+        + """,
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_rep FROM reach GROUP BY node
+), cs AS (
+  SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY 1
+)
+SELECT cc.doc_id, cc.cluster_rep, cs.cluster_size
+FROM cc JOIN cs USING (cluster_rep)
+"""
     )
 
 
@@ -1426,7 +1462,7 @@ _RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pricing_summary": _q_pricing_summary,
         "top_unshipped_orders": _q_top_unshipped_orders,
         "hour_of_day_cube": _q_hour_of_day_cube,
-        "hour_12_cube": _q_hour_12_cube,
+        "dedup_clusters": _q_dedup_clusters,
         "lossy_bound_violations": _q_lossy_bound_violations,
         "windowed_rollup": _q_windowed_rollup,
         "tiered_rollup": _q_tiered_rollup,
@@ -1827,22 +1863,7 @@ FROM series
 GROUP BY 1, 2, 3
 """
         ),
-        "hour_12_cube": (
-            "WITH "
-            + _SQL_SERIES
-            + """
-SELECT conv_id, metric,
-       CAST(hour(to_timestamp(((bin_ms // 3600000) * 3600000) / 1000)) % 12
-            AS INTEGER) AS field,
-       COUNT(*) AS cnt,
-       CAST(MIN(value) AS DOUBLE) AS vmin,
-       CAST(MAX(value) AS DOUBLE) AS vmax,
-       SUM(CAST(value AS DOUBLE)) AS vsum,
-       SUM(CAST(value AS DOUBLE)) / COUNT(*) AS mean
-FROM series
-GROUP BY 1, 2, 3
-"""
-        ),
+        "dedup_clusters": _sql_dedup_clusters(),
         "tiered_rollup": (
             "WITH "
             + _SQL_SERIES

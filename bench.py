@@ -271,6 +271,11 @@ def main() -> None:
         }))
         return
 
+    # Self-describing steal marker: this shared VM gets external load
+    # bursts that inflate wall times 3-5x. Sampling the 1-min load
+    # average before and after lets any reader of the record judge
+    # whether a slow number is the engine or the environment.
+    load_start = round(os.getloadavg()[0], 2)
     spark = _spark(CPUS)
     # One UNTIMED full-size warmup run, then best-of-4: this shared
     # VM's steal comes in ~10-minute bursts, and round 5 proved two
@@ -336,26 +341,29 @@ def main() -> None:
         "asof_last_purchase", "session_stats", "session_lookup",
     }
     r5_new = {"ann_recall"}
-    # retired in round 6 (redundant twins of fully-hash-oracled
-    # parents): absent from `queries` now, so r4_basis sums shift down
-    # by their former ~1-3 s — recorded here so cross-round comparisons
-    # stay honest
+    r6_new = {"dedup_clusters"}
+    # retired in round 6 (redundant twins of fully-hash-oracled parents,
+    # plus hour_12_cube whose calendar field is unit-oracled in
+    # test_calendar_rollup_all_fields): absent from `queries` now, so
+    # the basis sums shift down by their former ~1-3 s each — recorded
+    # here so cross-round comparisons stay honest
     retired_r6 = sorted(
         {"rollup_1h_lossy_counts", "compression_points",
-         "group_compression_points"} - set(queries)
+         "group_compression_points", "hour_12_cube"} - set(queries)
     )
     r3_basis = round(
-        sum(v for k, v in queries.items() if k not in r4_new | r5_new), 2
+        sum(v for k, v in queries.items()
+            if k not in r4_new | r5_new | r6_new), 2
     )
     r4_basis = round(
-        sum(v for k, v in queries.items() if k not in r5_new), 2
+        sum(v for k, v in queries.items() if k not in r5_new | r6_new), 2
     )
     result = json.dumps({
         "metric": "turns/sec ingested-to-rolled-up (synthetic transcripts, full pipeline)",
         "value": round(dt + sum(queries.values()), 2),
         "queries_r3_basis_sec": r3_basis,
         "queries_r4_basis_sec": r4_basis,
-        "queries_new_this_round": sorted(r5_new & set(queries)),
+        "queries_new_this_round": sorted(r6_new & set(queries)),
         "queries_retired_r6": retired_r6,
         "unit": "sec",
         "queries": queries,  # medians over query_rounds runs
@@ -370,6 +378,11 @@ def main() -> None:
         "turns_per_sec": round(turns / dt),
         "turns_per_sec_runs": [round(turns / d) for d in dts],
         "multi_executor_pipeline": multi_exec,
+        # 1-min load average at bench start/end; our own work raises
+        # it too, but a start value >> CPUS/8 before anything ran, or
+        # wild spread between pipeline_sec_runs, marks external steal
+        "loadavg_1m_start": load_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
     })
     # Durable copy first (the authoritative record even if stdout is
     # clipped), then the JSON as the sole final stdout line.

@@ -253,3 +253,109 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: the transitive
+    closure that turns pair lists (from `minhash_lsh_pairs`,
+    `simhash_near_pairs`, ...) into canonical clusters. Returns one
+    row per document: (doc_id, cluster_rep, cluster_size) where
+    cluster_rep is the minimum doc_id of the component — docs with no
+    duplicate are their own singleton cluster. This is the step a
+    training-data pipeline actually keeps: "keep cluster_rep, drop the
+    rest" is exact transitive dedup, and cluster_size is the upweight
+    factor for dedup-aware sampling.
+
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes the smallest label among itself and
+    its neighbors (one hash-shuffle groupBy with a map-side-combinable
+    MIN, no neighbor lists are ever collected, so a boilerplate doc
+    duplicated a million times produces a hot *key*, not a hot task),
+    then compresses one hop (label <- label(label)), which cuts the
+    round count from O(diameter) to O(log diameter) — the same
+    doubling idea as the alternating star algorithms for MapReduce
+    connected components. Each round ends in localCheckpoint: iterative
+    DataFrame algorithms otherwise stack O(rounds) of plan lineage and
+    re-fire the whole history every action.
+
+    At 100 TB the iteration runs over the PAIR GRAPH only — endpoints
+    of verified near-dup pairs, a tiny fraction of the corpus — so the
+    per-round shuffles move component labels for dup docs, never the
+    corpus. Singletons (the overwhelming majority) join in exactly
+    once at the end, as a single left join against the doc ids.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # materialize once: the edge frame joins into EVERY round, and its
+    # lineage is typically the whole LSH pipeline — without this the
+    # shingle/minhash/verify work would replay per iteration
+    sym = sym.localCheckpoint()
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    cur = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(cur, sym["dst"] == cur["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = (
+            cur.join(nbr_min, cur["node"] == nbr_min["src"], "left")
+            .select(
+                cur["node"].alias("node"),
+                F.least(
+                    cur["label"], F.coalesce("nbr_label", cur["label"])
+                ).alias("label"),
+            )
+        )
+        hop = prop.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        new = (
+            prop.join(hop, prop["label"] == hop["jnode"], "left")
+            .select(
+                prop["node"].alias("node"),
+                F.least(
+                    prop["label"], F.coalesce("jlabel", prop["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(cur.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        cur = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds"
+        )
+    sizes = cur.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    clustered = cur.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
+    return (
+        docs.select(F.col(doc_col))
+        .join(clustered, F.col(doc_col) == F.col("node"), "left")
+        .select(
+            F.col(doc_col),
+            F.coalesce("cluster_rep", F.col(doc_col)).alias("cluster_rep"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+        )
+    )

@@ -178,3 +178,60 @@ def test_restrict_prunes_segments(segments):
     pruned = restrict(segments, mid, None)
     assert pruned.count() < segments.count()
     assert pruned.where(F.col("end_ms") < mid).count() == 0
+
+
+def test_calendar_rollup_all_fields_match_brute_force(spark):
+    """Every calendar-cube field (the reference's 40 *_YEAR..*_SECOND
+    UDAF surface, SparkUDAF.scala:355-394) against a pure-Python
+    recomputation — including the Calendar.HOUR 12-hour clock,
+    AM_PM 0/1, and Sunday=1 DAY_OF_WEEK quirks."""
+    import datetime as dt
+
+    from modelardb_spark.operators.rollup import (
+        CALENDAR_FIELDS,
+        calendar_rollup,
+    )
+
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2023, 11, 30, 19, 45, 12, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(500):
+        # spread across months/days/hours incl. year + am/pm boundaries
+        t = base + dt.timedelta(minutes=int(rng.randint(0, 60 * 24 * 90)))
+        ms = int(t.timestamp() * 1000)
+        v = float(rng.randn())
+        rows.append(("c%d" % (i % 3), "turn_rate", ms, 2, v, v + 1.0, 2 * v + 1.0))
+    finer = spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, window_ms long, cnt long, "
+        "vmin double, vmax double, vsum double",
+    )
+
+    def expected_field(t: dt.datetime, field: str) -> int:
+        return {
+            "year": t.year,
+            "month": t.month,
+            "day_of_month": t.day,
+            "day_of_week": (t.weekday() + 1) % 7 + 1,  # Sunday=1
+            "am_pm": 0 if t.hour < 12 else 1,
+            "hour": t.hour % 12,
+            "hour_of_day": t.hour,
+            "minute": t.minute,
+            "second": t.second,
+        }[field]
+
+    for field in CALENDAR_FIELDS:
+        got = {
+            (r["conv_id"], r["metric"], r["field"]): (
+                r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 9),
+            )
+            for r in calendar_rollup(finer, field).collect()
+        }
+        want: dict = {}
+        for conv, metric, ms, cnt, vmin, vmax, vsum in rows:
+            t = dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc)
+            k = (conv, metric, expected_field(t, field))
+            c, lo, hi, s = want.get(k, (0, float("inf"), float("-inf"), 0.0))
+            want[k] = (c + cnt, min(lo, vmin), max(hi, vmax), s + vsum)
+        want = {k: (c, lo, hi, round(s, 9)) for k, (c, lo, hi, s) in want.items()}
+        assert got == want, f"calendar field {field} mismatch"

@@ -482,3 +482,79 @@ def test_video_frame_sampling_decodes_real_frames(spark, sf_small):
         assert r["frame_index"] == idx
         px = decode_video_frame(data, idx)
         assert abs(r["px_mean"] - px.astype(float).mean()) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters: connected components over near-dup pairs
+
+
+def _brute_components(n_nodes, pairs):
+    """Union-find oracle: node -> min doc_id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # always hang the larger root under the smaller, so every
+            # component's root IS its minimum doc_id
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    from modelardb_spark.operators.dedup import duplicate_clusters
+
+    rng = np.random.RandomState(7)
+    n = 200
+    raw = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(120, 2))
+        if a != b
+    ]
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw], "doc_a long, doc_b long"
+    ).distinct()
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = duplicate_clusters(pairs, docs)
+    got = {r["doc_id"]: r["cluster_rep"] for r in out.collect()}
+    want = _brute_components(n, raw)
+    assert got == want
+    # cluster_size agrees with the component population
+    sizes = {r["doc_id"]: r["cluster_size"] for r in out.collect()}
+    from collections import Counter
+
+    pop = Counter(want.values())
+    assert all(sizes[x] == pop[want[x]] for x in range(n))
+
+
+def test_duplicate_clusters_chain_worst_case_converges(spark):
+    # a 64-node path is the worst diameter for label propagation;
+    # pointer jumping must close it in O(log n) rounds (cap 25)
+    from modelardb_spark.operators.dedup import duplicate_clusters
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = duplicate_clusters(pairs, docs).collect()
+    assert all(r["cluster_rep"] == 0 and r["cluster_size"] == n for r in out)
+
+
+def test_duplicate_clusters_singletons_and_empty(spark):
+    from modelardb_spark.operators.dedup import duplicate_clusters
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = duplicate_clusters(empty, docs).collect()
+    assert len(out) == 5
+    assert all(
+        r["cluster_rep"] == r["doc_id"] and r["cluster_size"] == 1
+        for r in out
+    )
