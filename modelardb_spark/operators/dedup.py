@@ -310,6 +310,7 @@ def duplicate_clusters(
             cur.join(nbr_min, cur["node"] == nbr_min["src"], "left")
             .select(
                 cur["node"].alias("node"),
+                cur["label"].alias("old_label"),
                 F.least(
                     cur["label"], F.coalesce("nbr_label", cur["label"])
                 ).alias("label"),
@@ -318,6 +319,9 @@ def duplicate_clusters(
         hop = prop.select(
             F.col("node").alias("jnode"), F.col("label").alias("jlabel")
         )
+        # carry the pre-round label through the jump so convergence is
+        # a column comparison on the checkpointed frame, not an extra
+        # shuffle-join of new-vs-old labels every round
         new = (
             prop.join(hop, prop["label"] == hop["jnode"], "left")
             .select(
@@ -325,17 +329,14 @@ def duplicate_clusters(
                 F.least(
                     prop["label"], F.coalesce("jlabel", prop["label"])
                 ).alias("label"),
+                prop["old_label"].alias("old_label"),
             )
             .localCheckpoint()
         )
         changed = (
-            new.alias("n")
-            .join(cur.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new.where(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        cur = new
+        cur = new.select("node", "label")
         if changed == 0:
             break
     else:

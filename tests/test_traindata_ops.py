@@ -558,3 +558,24 @@ def test_duplicate_clusters_singletons_and_empty(spark):
         r["cluster_rep"] == r["doc_id"] and r["cluster_size"] == 1
         for r in out
     )
+
+
+def test_duplicate_clusters_hub_star_graph(spark):
+    # a boilerplate doc duplicated n times yields a hub: node 0
+    # connected to every other. MIN-aggregation keeps this a hot KEY
+    # (map-side combinable), never a hot task, and one propagation
+    # round must settle it.
+    from modelardb_spark.operators.dedup import duplicate_clusters
+
+    n = 500
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    docs = spark.range(n + 50).withColumnRenamed("id", "doc_id")  # +50 singletons
+    out = duplicate_clusters(pairs, docs).collect()
+    assert len(out) == n + 50
+    for r in out:
+        if r["doc_id"] < n:
+            assert r["cluster_rep"] == 0 and r["cluster_size"] == n
+        else:
+            assert r["cluster_rep"] == r["doc_id"] and r["cluster_size"] == 1
