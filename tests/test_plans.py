@@ -249,3 +249,28 @@ def test_avg_s_alone_dedupes_its_two_seg_agg_occurrences(spark, sf_small, tmp_pa
     plan = _plan(df)
     assert plan.count("SEG_AGG") == 1, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_duplicate_clusters_severs_lsh_lineage(spark, sf_small):
+    """The connected-components iteration must NOT replay the LSH pair
+    pipeline per round: the edge frame is localCheckpointed up front,
+    so the final plan scans a materialized RDD — no shingle explode,
+    minhash aggregation, or band self-join may appear in it — and it
+    must contain no cartesian product."""
+    from modelardb_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    from modelardb_spark.operators.textstats import load_documents
+
+    docs = load_documents(spark, sf_small)
+    out = duplicate_clusters(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.35), docs
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the checkpointed edge frame appears as an ExistingRDD scan; the
+    # pair pipeline's operators must be absent from the query's plan
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    for marker in ("posexplode", "band_hash", "shingle"):
+        assert marker not in plan, f"LSH lineage leaked into plan: {marker}"
