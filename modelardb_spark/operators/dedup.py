@@ -360,3 +360,72 @@ def duplicate_clusters(
             ),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = SHINGLE_WORDS,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    k-word shingles with an evaluation set — the standard guard
+    against test-set leakage into training data. Returns every doc
+    with (doc_id, shared_shingles, contaminated); filter on
+    ``NOT contaminated`` to clean the corpus.
+
+    Scale shape: the benchmark side is an EVAL SET — thousands of
+    documents, not billions — so its distinct shingles broadcast and
+    the corpus-side check is a map-only broadcast join: the 100 TB
+    corpus is scanned once, nothing about it shuffles. `min_shared`
+    guards against chance collisions of common phrases (a single
+    shared shingle like "according to the" is noise; two or more
+    distinct shared shingles is quotation)."""
+    corpus_sh = shingles(docs, k)
+    bench_sh = shingles(benchmark, k).select("shingle").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .na.fill({"shared_shingles": 0})
+        .select(
+            "doc_id",
+            F.col("shared_shingles").cast("long").alias("shared_shingles"),
+            (F.col("shared_shingles") >= min_shared).alias("contaminated"),
+        )
+    )
+
+
+def sample_one_per_cluster(
+    clusters: DataFrame, seed: int = 0, doc_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup-aware sampling: keep exactly ONE member per duplicate
+    cluster, chosen uniformly (not always the minimum id, which would
+    bias toward earlier-crawled copies) but deterministically — the
+    member with the smallest xxhash64(doc_id, seed). Input is
+    `duplicate_clusters` output; returns the kept rows with their
+    cluster_size as the upweight factor for loss re-weighting.
+
+    One hash-aggregate on cluster_rep (map-side-combinable MIN over a
+    (hash, doc) struct — a million-copy cluster is a hot key, never a
+    hot task), then the winners come back as a struct field: no second
+    join against the corpus."""
+    pick = F.min(
+        F.struct(
+            F.xxhash64(F.col(doc_col), F.lit(seed)).alias("h"),
+            F.col(doc_col).alias("d"),
+        )
+    )
+    return (
+        clusters.groupBy("cluster_rep")
+        .agg(pick.alias("w"), F.count("*").alias("cluster_size"))
+        .select(
+            F.col("w.d").alias(doc_col),
+            "cluster_rep",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -579,3 +579,76 @@ def test_duplicate_clusters_hub_star_graph(spark):
             assert r["cluster_rep"] == 0 and r["cluster_size"] == n
         else:
             assert r["cluster_rep"] == r["doc_id"] and r["cluster_size"] == 1
+
+
+def test_decontaminate_flags_quoted_benchmark_docs(spark, docs):
+    from modelardb_spark.operators.dedup import decontaminate
+
+    # "benchmark" = 5 corpus docs verbatim (worst-case leakage) plus
+    # one unseen doc; contaminated must include exactly those 5 (and
+    # any true shingle-sharers), never docs with < min_shared overlap
+    bench = docs.limit(5).unionByName(
+        spark.createDataFrame(
+            [(999999, "entirely novel benchmark question nothing shares", "en", "t", 48)],
+            docs.schema,
+        )
+    )
+    out = decontaminate(docs, bench, min_shared=2)
+    flagged = {r["doc_id"] for r in out.where("contaminated").collect()}
+    assert {r["doc_id"] for r in docs.limit(5).collect()} <= flagged
+    total = out.count()
+    assert total == docs.count()  # every doc gets a verdict row
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    # verdict is exactly the threshold on shared_shingles
+    assert all(
+        (r["shared_shingles"] >= 2) == r["contaminated"]
+        for r in by_id.values()
+    )
+
+
+def test_decontaminate_is_broadcast_map_only(spark, docs):
+    from modelardb_spark.operators.dedup import decontaminate
+
+    plan = (
+        decontaminate(docs, docs.limit(3))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval-set side broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_one_per_cluster_deterministic_unbiased(spark):
+    from modelardb_spark.operators.dedup import (
+        duplicate_clusters,
+        sample_one_per_cluster,
+    )
+
+    # 3 clusters of 4 + 3 singletons
+    pairs = spark.createDataFrame(
+        [(base, base + j) for base in (0, 10, 20) for j in (1, 2, 3)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 3, 10, 11, 12, 13, 20, 21, 22, 23, 90, 91, 92)],
+        "doc_id long",
+    )
+    clusters = duplicate_clusters(pairs, docs).cache()
+    kept = sample_one_per_cluster(clusters, seed=1).collect()
+    assert len(kept) == 6  # 3 clusters + 3 singletons
+    by_rep = {r["cluster_rep"]: r for r in kept}
+    assert by_rep[0]["cluster_size"] == 4
+    assert by_rep[90]["doc_id"] == 90 and by_rep[90]["cluster_size"] == 1
+    # deterministic: same seed -> same picks
+    again = {r["cluster_rep"]: r["doc_id"]
+             for r in sample_one_per_cluster(clusters, seed=1).collect()}
+    assert again == {k: v["doc_id"] for k, v in by_rep.items()}
+    # unbiased: across seeds, a 4-member cluster's pick must vary
+    picks = {
+        sample_one_per_cluster(clusters, seed=s)
+        .where("cluster_rep = 0").first()["doc_id"]
+        for s in range(8)
+    }
+    assert len(picks) > 1
+    clusters.unpersist()
