@@ -652,3 +652,50 @@ def test_sample_one_per_cluster_deterministic_unbiased(spark):
     }
     assert len(picks) > 1
     clusters.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_budget_and_coverage(spark, docs):
+    from modelardb_spark.operators.packing import pack_sequences
+
+    budget = 200
+    out = pack_sequences(docs, budget=budget, parts=4).cache()
+    # every doc packed exactly once
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    # no sequence exceeds the budget (counting truncated docs at budget)
+    seq = out.withColumn(
+        "eff", F.least(F.col("n_tokens"), F.lit(budget))
+    ).groupBy("seq_id").agg(F.sum("eff").alias("seq_tokens"))
+    assert seq.where(F.col("seq_tokens") > budget).count() == 0
+    # truncated iff longer than budget
+    assert (
+        out.where(
+            (F.col("n_tokens") > budget) != F.col("truncated")
+        ).count()
+        == 0
+    )
+    # deterministic across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, pack_sequences(docs, budget=budget, parts=4).collect()))
+    assert a == b
+    out.unpersist()
+
+
+def test_pack_sequences_fill_ratio_uniform_docs(spark):
+    from modelardb_spark.operators.packing import pack_sequences
+
+    # 400 docs of exactly 10 tokens, budget 100 -> perfect packing is
+    # 40 sequences; per-group BFD must land within one extra open
+    # sequence per group (4 groups)
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=100, parts=4)
+    n_seq = out.select("seq_id").distinct().count()
+    assert n_seq <= 40 + 4
+    # fill ratio of full sequences
+    seq = out.groupBy("seq_id").agg(F.sum("n_tokens").alias("t"))
+    assert seq.where("t = 100").count() >= 36
