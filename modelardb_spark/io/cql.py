@@ -150,13 +150,19 @@ def _send_rows(rows: Iterable, connection_string: str) -> None:
         f"INSERT INTO {keyspace}.segment(conv_id, metric, start_ms, "
         "end_ms, interval_ms, mtid, model, n) VALUES (?,?,?,?,?,?,?,?)"
     )
+    from cassandra.query import BatchStatement, BatchType
+
+    # UNLOGGED bound-statement batches flushed at the 65535 cap — the
+    # reference's exact write shape (CassandraStorage.scala:127-146)
     for batch in iter_cql_batches(rows):
+        bs = BatchStatement(batch_type=BatchType.UNLOGGED)
         for r in batch:
-            session.execute(
+            bs.add(
                 insert,
                 (r["conv_id"], r["metric"], r["start_ms"], r["end_ms"],
                  r["interval_ms"], r["mtid"], bytes(r["model"]), r["n"]),
             )
+        session.execute(bs)
     cluster.shutdown()
 
 
