@@ -110,7 +110,7 @@ def headline_pipeline(spark, n_convs: int = SYN_CONVS, turns: int = SYN_TURNS) -
     return n_turns, dt
 
 
-def sf_queries(spark, rounds: int | None = None) -> tuple[dict, dict, int]:
+def sf_queries(spark, rounds: int | None = None) -> tuple[dict, dict, int, list]:
     """Per-operator timings on the driver's sf directory: MEDIANS over
     `rounds` runs (this box's bursty hypervisor steal makes single runs
     swing 2-4x — medians are the comparable number round over round),
@@ -121,14 +121,16 @@ def sf_queries(spark, rounds: int | None = None) -> tuple[dict, dict, int]:
 
     rounds = rounds or int(os.environ.get("BENCH_QUERY_ROUNDS", "3"))
     runs: dict[str, list[float]] = {}
+    loads: list[float] = []  # 1-min load at each round start (steal marker)
     for _ in range(rounds):
+        loads.append(round(os.getloadavg()[0], 2))
         for name, fn in sorted(em.queries().items()):
             t0 = time.time()
             fn(spark, SF_DIR).count()
             runs.setdefault(name, []).append(time.time() - t0)
     med = {n: round(statistics.median(ts), 2) for n, ts in runs.items()}
     best = {n: round(min(ts), 2) for n, ts in runs.items()}
-    return med, best, rounds
+    return med, best, rounds, loads
 
 
 def main() -> None:
@@ -329,7 +331,7 @@ def main() -> None:
     except Exception:
         multi_exec = None
 
-    queries, queries_best, rounds = sf_queries(spark)
+    queries, queries_best, rounds, query_round_loads = sf_queries(spark)
     spark.stop()
     # apples-to-apples across rounds: the round-3 bench covered 45
     # queries; later rounds add more, so the headline `value` (all
@@ -369,6 +371,10 @@ def main() -> None:
         "queries": queries,  # medians over query_rounds runs
         "queries_best": queries_best,
         "query_rounds": rounds,
+        # 1-min load sampled as each query round began: our own 32
+        # threads keep it near CPUS while running, so the signal is a
+        # round that STARTS far above the others (external burst)
+        "query_round_loads": query_round_loads,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "synthetic_turns": turns,
         "pipeline_sec": round(dt, 2),
