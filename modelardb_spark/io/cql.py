@@ -265,16 +265,27 @@ class CqlCatalog(TableCatalog):
     def overwrite_partitions(
         self, df: DataFrame, name: str, partition_by: list[str]
     ) -> None:
-        """Day-replace resume contract via staged rename: the new day
-        directories are written to a staging dir, then swapped in with
-        one rename per partition value — a crash leaves each day either
-        old or new, never empty. (Real Cassandra needs none of this:
-        re-inserting the same primary keys upserts idempotently, which
-        is why the reference writes SaveMode.Append.)"""
-        col = partition_by[0]
-        values = [
-            str(r[0]) for r in df.select(col).distinct().collect()
-        ]  # bounded: partition values are days
+        """Partition-replace resume contract via staged rename-swap.
+
+        The new partition directories are written to a staging dir,
+        then each is swapped in with RENAMES: old dir renamed aside to
+        a trash dir, new dir renamed in, trash deleted last. The
+        exposed window per partition is two metadata-only rename
+        syscalls — never an rmtree walking data files while the
+        partition is missing. A crash inside that window leaves the
+        partition absent, which the jobs' checkpoint protocol heals:
+        the checkpoint row is written only after this returns, so an
+        unfinished partition is simply reprocessed on resume. (Real
+        Cassandra needs none of this: re-inserting the same primary
+        keys upserts idempotently, which is why the reference writes
+        SaveMode.Append, CassandraStorage.scala:200-206.)
+
+        The swap paths come from LISTING the staging output — exactly
+        the names Spark wrote — so NULL partition values
+        (__HIVE_DEFAULT_PARTITION__), URL-escaped values, and
+        multi-column partition_by all swap at the full partition-key
+        depth with no driver-side value rendering (and no second
+        computation of `df` for a distinct-values collect)."""
         staging = self.path(f".staging-{name}-{os.getpid()}-{time.time_ns()}")
         (
             self._clustered(df, list(partition_by))
@@ -285,12 +296,32 @@ class CqlCatalog(TableCatalog):
         )
         base = self.path(name)
         os.makedirs(base, exist_ok=True)
+        # sweep trash left by a previous crash: its contents were
+        # already logically replaced when it was renamed aside
+        for d in os.listdir(base):
+            if d.startswith(".trash-"):
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        trash = os.path.join(base, f".trash-{os.getpid()}-{time.time_ns()}")
+        os.makedirs(trash)
         try:
-            for v in values:
-                src = os.path.join(staging, f"{col}={v}")
-                dst = os.path.join(base, f"{col}={v}")
+            # partition leaves are at depth len(partition_by); below
+            # them sit the tr=<bucket> clustering dirs
+            depth = len(partition_by)
+            rels = [""]
+            for _ in range(depth):
+                rels = [
+                    os.path.join(r, d)
+                    for r in rels
+                    for d in os.listdir(os.path.join(staging, r))
+                    if "=" in d
+                ]
+            for i, rel in enumerate(rels):
+                src = os.path.join(staging, rel)
+                dst = os.path.join(base, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 if os.path.exists(dst):
-                    shutil.rmtree(dst)
+                    os.rename(dst, os.path.join(trash, str(i)))
                 os.rename(src, dst)
         finally:
+            shutil.rmtree(trash, ignore_errors=True)
             shutil.rmtree(staging, ignore_errors=True)

@@ -33,6 +33,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: SQLStates meaning "object already exists" — the only DDL failure an
+#: idempotent CREATE may swallow. Derby: X0Y32; PostgreSQL: 42P07
+#: (duplicate_table) / 42710 (duplicate_object); MySQL/standard: 42S01.
+DDL_EXISTS_SQLSTATES = frozenset({"X0Y32", "42P07", "42710", "42S01"})
+
+
 def _q(ident: str) -> str:
     """Quote a column identifier the way Spark's JDBC writer created it
     (Derby folds unquoted identifiers to upper case; Spark quotes)."""
@@ -188,12 +194,12 @@ class JdbcCatalog:
         try:
             self._execute(f"CREATE INDEX {name}_time_idx ON {name} ({cols})")
         except Exception as e:
-            # idempotent ONLY for "object already exists" (Derby/SQL
-            # standard X0Y32); a genuinely failed DDL — bad identifier,
+            # idempotent ONLY for "object already exists" (per-backend
+            # SQLStates); a genuinely failed DDL — bad identifier,
             # permissions, connection error — must surface, or the
             # JDBCStorage-parity secondary time index silently never
             # exists
-            if self._sqlstate(e) != "X0Y32":
+            if self._sqlstate(e) not in DDL_EXISTS_SQLSTATES:
                 raise
 
     def overwrite(
@@ -223,20 +229,29 @@ class JdbcCatalog:
             self.overwrite(df, name, partition_by)
             return
         col = partition_by[0]
-        stage = f"{name}_stage"
-        if self.exists(stage):
-            self._execute(f"DROP TABLE {stage}")
+        # writer-unique staging name: two concurrent writers of the
+        # same table (ingest + transfer on disjoint days) must never
+        # share a stage, or one transaction swaps in the other's rows
+        import os as _os
+        import time as _time
+
+        stage = f"{name}_stage_{_os.getpid()}_{_time.time_ns() % 10**12}"
         self._write(df, stage, "overwrite")
-        cols = ", ".join(_q(c) for c in df.columns)
-        # the DELETE keys off the staging table itself (IN-subquery):
-        # type-correct for any partition column type and no driver-side
-        # value list to build
-        self._execute_txn(
-            f"DELETE FROM {name} WHERE {_q(col)} IN "
-            f"(SELECT DISTINCT {_q(col)} FROM {stage})",
-            f"INSERT INTO {name} ({cols}) SELECT {cols} FROM {stage}",
-        )
-        self._execute(f"DROP TABLE {stage}")
+        try:
+            cols = ", ".join(_q(c) for c in df.columns)
+            # the DELETE keys off the staging table itself
+            # (IN-subquery): type-correct for any partition column type
+            # and no driver-side value list to build
+            self._execute_txn(
+                f"DELETE FROM {name} WHERE {_q(col)} IN "
+                f"(SELECT DISTINCT {_q(col)} FROM {stage})",
+                f"INSERT INTO {name} ({cols}) SELECT {cols} FROM {stage}",
+            )
+        finally:
+            try:
+                self._execute(f"DROP TABLE {stage}")
+            except Exception:
+                pass  # scratch; a leaked stage is re-created next run
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         if not self.exists(name) or not values:
@@ -262,7 +277,7 @@ class JdbcCatalog:
                     '("name" VARCHAR(256) PRIMARY KEY, "info" CLOB)'
                 )
             except Exception as e:
-                if self._sqlstate(e) != "X0Y32":
+                if self._sqlstate(e) not in DDL_EXISTS_SQLSTATES:
                     raise  # only "already exists" (concurrent creator) is benign
 
     def write_manifest(self, name: str, info: dict) -> None:

@@ -534,8 +534,20 @@ class SnapshotCatalog:
                     if full not in live and not young(full):
                         os.unlink(full)
                         removed_files += 1
-                if dirpath != base_dir and not os.listdir(dirpath):
-                    os.rmdir(dirpath)
+                # directory cleanup gets the SAME writer-safety the
+                # files get: a just-created (young) commit dir of an
+                # in-flight writer is momentarily empty — leave it; and
+                # the empty-check-then-rmdir race (writer adds a file
+                # in between) must not crash the sweep
+                if (
+                    dirpath != base_dir
+                    and not os.listdir(dirpath)
+                    and not young(dirpath)
+                ):
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass  # no longer empty or already gone
         return {"manifests": removed_manifests, "data_files": removed_files}
 
     def rewrite_data_files(
