@@ -6,6 +6,9 @@ job a 100 TB corpus actually runs nightly, submitted like the other
 jobs (spark-submit --py-files modelardb_spark.zip -m
 modelardb_spark.jobs.curate ...):
 
+0. **Repetition quality gate** (optional `--max-dup-line-frac` /
+   `--max-top-word-frac`): Gopher-style degenerate docs are dropped
+   by a map-side filter before any dedup compute is spent on them.
 1. **Near-dup pairs** (MinHash+LSH, verified Jaccard) and their
    transitive closure (`duplicate_clusters`) give one canonical
    cluster per duplicate family.
@@ -22,8 +25,10 @@ Output layout:
     <out>/curated/   one row per KEPT doc: doc_id, cluster_rep,
                      cluster_size, n_tokens, seq_id, seq_bin, part,
                      truncated
-    <out>/stats.json docs_in, clusters, contaminated, kept,
-                     sequences, fill_ratio
+    <out>/scrubbed/  (with --scrub) kept docs with PII-redacted text
+                     plus per-category redaction counts
+    <out>/stats.json docs_in, quality_dropped, clusters, contaminated,
+                     kept, sequences, fill_ratio, pii_redactions
 
 Every step is deterministic (hash-seeded), so re-running on the same
 input reproduces the same curated set bit-for-bit — the property that
@@ -51,6 +56,8 @@ def curate(
     seed: int = 0,
     budget: int = 2048,
     pack_parts: int | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_word_frac: float | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (curated frame, stats dict). The curated frame has one
     row per kept document with its cluster and packing assignment."""
@@ -61,6 +68,18 @@ def curate(
         sample_one_per_cluster,
     )
     from modelardb_spark.operators.packing import pack_sequences
+    from modelardb_spark.operators.textstats import repetition_filter
+
+    # quality gate FIRST: repetitive/degenerate docs are dropped by a
+    # map-side filter before any dedup compute is spent on them (the
+    # pre-gate count is only taken when a gate is active — ungated
+    # runs keep their single docs scan)
+    n_raw = None
+    if max_dup_line_frac is not None or max_top_word_frac is not None:
+        n_raw = docs.count()
+        docs = repetition_filter(
+            docs, max_dup_line_frac, max_top_word_frac
+        )
 
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
     clusters = duplicate_clusters(pairs, docs)
@@ -102,7 +121,8 @@ def curate(
     n_seq = seq.count()
     fill = (seq.agg(F.sum("t")).first()[0] or 0) / max(n_seq * budget, 1)
     stats = {
-        "docs_in": n_in,
+        "docs_in": n_in if n_raw is None else n_raw,
+        "quality_dropped": 0 if n_raw is None else n_raw - n_in,
         "contaminated_dropped": n_in - n_clean,
         "duplicates_dropped": n_clean - n_kept,
         "clusters": curated.select("cluster_rep").distinct().count(),
@@ -128,6 +148,13 @@ def main() -> None:
                     help="deterministic per-cluster sampling seed")
     ap.add_argument("--budget", type=int, default=2048,
                     help="tokens per packed training sequence")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicate-line fraction exceeds this")
+    ap.add_argument("--max-top-word-frac", type=float, default=None,
+                    help="drop docs whose most-common-word fraction exceeds this")
+    ap.add_argument("--scrub", action="store_true",
+                    help="also write <out>/scrubbed/ with PII-redacted text "
+                         "for the kept docs")
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark
@@ -144,10 +171,26 @@ def main() -> None:
         min_shared=args.min_shared,
         seed=args.seed,
         budget=args.budget,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_word_frac=args.max_top_word_frac,
     )
     curated.write.mode("overwrite").parquet(
         os.path.join(args.out, "curated")
     )
+    if args.scrub:
+        from modelardb_spark.operators.textstats import pii_scrub
+
+        # redact the kept docs only; the semi-join keys are the tiny
+        # curated frame, the scrub itself is the map-only chain
+        scrubbed = pii_scrub(
+            docs.join(curated.select("doc_id"), "doc_id")
+        ).localCheckpoint()  # one computation for the write + the count
+        scrubbed.write.mode("overwrite").parquet(
+            os.path.join(args.out, "scrubbed")
+        )
+        stats["pii_redactions"] = int(
+            scrubbed.agg(F.sum("pii_total")).first()[0] or 0
+        )
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

@@ -236,7 +236,10 @@ def main() -> None:
     ap.add_argument("--format", default="parquet", choices=["parquet", "orc"],
                     help="segment/rollup table format (ORCStorage parity)")
     ap.add_argument("--catalog", default="dir", choices=["dir", "snapshot", "jdbc", "cql"],
-                    help="table layout: partition dirs or ACID snapshot commits")
+                    help="table layout: partition dirs or ACID snapshot "
+                         "commits; jdbc/cql partition overwrites are "
+                         "crash-healed by the checkpoint re-run — for "
+                         "full commit atomicity use snapshot")
     args = ap.parse_args()
 
     from modelardb_spark.operators.transcripts import transcripts_from_events

@@ -229,7 +229,10 @@ def main() -> None:
     ap.add_argument("--src-catalog", default="dir",
                     choices=["dir", "snapshot", "jdbc", "cql"])
     ap.add_argument("--dst-catalog", default="dir",
-                    choices=["dir", "snapshot", "jdbc", "cql"])
+                    choices=["dir", "snapshot", "jdbc", "cql"],
+                    help="jdbc/cql partition overwrites are crash-healed "
+                         "by the checkpoint re-run; use snapshot for full "
+                         "commit atomicity")
     args = ap.parse_args()
 
     from modelardb_spark.session import get_spark

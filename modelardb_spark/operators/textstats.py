@@ -130,3 +130,131 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+#: PII patterns, applied IN ORDER (more-specific first: an SSN or an
+#: IPv4 is also a valid match for the looser phone pattern, so each
+#: must be replaced before phone runs). Patterns are RE2-safe (no
+#: backreferences / lookaround) so the identical regex runs in Spark
+#: (java.util.regex) and DuckDB (RE2) — oracle-portable by
+#: construction.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d().\-\s]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails / SSNs / IPv4s / phone-shaped digit runs, keeping
+    per-category match counts.
+
+    A 100 TB-scale scrub must be a map-only, JVM-side pass: every
+    replacement here is a built-in `regexp_replace` chained on the
+    `text` column (one projection, whole-stage codegen, zero shuffle,
+    zero Python), and the counts are `regexp_extract_all` sizes
+    computed on the SAME pre-scrub text so they are independent of
+    replacement order. Counts count matches of each pattern on the
+    ORIGINAL text; because the patterns overlap (an SSN also looks
+    like a phone), `pii_total` is the number of replacements actually
+    made in the ordered chain, not the sum of the per-category counts.
+    """
+    text = F.col("text")
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    # replacements actually made = marker-token occurrences in the
+    # scrubbed text; exact unless the ORIGINAL text already contained
+    # a literal marker token (counted as if redacted — harmless for a
+    # drop/review threshold, and the per-category counts stay exact)
+    n_markers = sum(
+        (
+            F.length(scrubbed)
+            - F.length(F.replace(scrubbed, F.lit(token), F.lit("")))
+        )
+        / len(token)
+        for _, _, token in PII_PATTERNS
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        *counts,
+        n_markers.cast("long").alias("pii_total"),
+    )
+
+
+def _repetition_exprs(text):
+    """(n_lines, dup_line_frac, n_words, top_word_frac) expressions —
+    shared by the stats view and the curation-time gate so both ways
+    of asking the question are the same computation."""
+    lines = F.filter(
+        F.split(text, "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    )
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0
+    )
+    n_words = F.size(words)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    top_word_frac = F.when(n_words <= 0, F.lit(0.0)).otherwise(
+        top_count / n_words.cast("double")
+    )
+    return n_lines, dup_line_frac, n_words, top_word_frac
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction and
+    most-common-word fraction, per document.
+
+    Both are pure higher-order array expressions over a per-row split
+    — no explode (which would shuffle doc-sized arrays), no Python.
+    The top-word scan is O(unique_words x words) per row inside
+    codegen; documents are KB-scale so this stays CPU-trivial next to
+    the parquet scan it shares. Rows with no lines / no words report
+    0.0 fractions (defined, not null) so downstream threshold filters
+    never need null guards.
+    """
+    n_lines, dup_line_frac, n_words, top_word_frac = _repetition_exprs(
+        F.col("text")
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        n_words.cast("long").alias("n_words"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    max_dup_line_frac: float | None = None,
+    max_top_word_frac: float | None = None,
+) -> DataFrame:
+    """Drop documents whose repetition signals exceed the thresholds
+    (None = that signal is not gated). A pure map-side filter on the
+    full `docs` schema — at 100 TB this fuses into the scan stage of
+    whatever consumes the survivors, adding no pass of its own."""
+    _, dup_line_frac, _, top_word_frac = _repetition_exprs(F.col("text"))
+    cond = F.lit(True)
+    if max_dup_line_frac is not None:
+        cond = cond & (dup_line_frac <= max_dup_line_frac)
+    if max_top_word_frac is not None:
+        cond = cond & (top_word_frac <= max_top_word_frac)
+    return docs.where(cond)

@@ -77,3 +77,29 @@ def test_curate_no_benchmark_keeps_all_clusters(spark):
     _, stats_b = curate(spark, docs, None, jaccard_threshold=0.35,
                         budget=128, seed=9)
     assert stats_b["kept"] == stats["kept"]
+
+
+def test_curate_quality_gate_drops_degenerate_docs(spark):
+    docs = _corpus(spark)
+    degenerate = [
+        (300, "spam spam spam spam spam spam spam spam spam spam"),
+        (301, "same line\n" * 20),
+    ]
+    docs = docs.unionByName(
+        spark.createDataFrame(degenerate, "doc_id long, text string")
+    )
+    curated, stats = curate(
+        spark,
+        docs,
+        jaccard_threshold=0.35,
+        budget=64,
+        max_dup_line_frac=0.5,
+        max_top_word_frac=0.5,
+    )
+    kept = {r["doc_id"] for r in curated.collect()}
+    assert stats["docs_in"] == 38
+    assert stats["quality_dropped"] == 2
+    assert 300 not in kept and 301 not in kept
+    # the gate must not disturb the rest of the pipeline
+    assert stats["kept"] == len(kept)
+    assert 0 in kept or 200 in kept  # exact-dup family still sampled

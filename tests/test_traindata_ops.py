@@ -699,3 +699,106 @@ def test_pack_sequences_fill_ratio_uniform_docs(spark):
     # fill ratio of full sequences
     seq = out.groupBy("seq_id").agg(F.sum("n_tokens").alias("t"))
     assert seq.where("t = 100").count() >= 36
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from modelardb_spark.operators.textstats import pii_scrub
+
+    rows = [
+        (1, "mail me at alice.b+spam@example.co.uk or bob@x.io today"),
+        (2, "ssn 123-45-6789 and phone +1 (555) 123-4567 on file"),
+        (3, "server at 192.168.0.1 answered"),
+        (4, "no pii here at all"),
+        (5, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2 and out[1]["pii_total"] == 2
+    assert "<EMAIL>" in out[1]["text"] and "@" not in out[1]["text"]
+    assert out[2]["n_ssn"] == 1 and "<SSN>" in out[2]["text"]
+    assert "<PHONE>" in out[2]["text"]
+    # the SSN also matches the looser phone pattern on raw text — the
+    # ordered chain must NOT double-redact, and pii_total counts the
+    # replacements actually made (2), not the overlapping raw hits
+    assert out[2]["n_phone"] >= 2  # raw-text hits include the SSN
+    assert out[2]["pii_total"] == 2
+    assert out[3]["n_ipv4"] == 1 and "<IP>" in out[3]["text"]
+    assert "192.168.0.1" not in out[3]["text"]
+    assert out[4]["pii_total"] == 0 and out[4]["text"] == rows[3][1]
+    assert out[5]["pii_total"] == 0 and out[5]["text"] == ""
+
+
+def test_pii_scrub_matches_duckdb_oracle(spark, docs):
+    """The identical regexes run in DuckDB (RE2): scrubbed text and
+    per-category counts must agree engine-for-engine on real docs."""
+    import duckdb
+
+    from modelardb_spark.operators.textstats import PII_PATTERNS, pii_scrub
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    scrub_expr = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{token}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    oracle = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"SELECT doc_id, {scrub_expr} AS text, {counts} FROM docs"
+        ).fetchall()
+    }
+    got = pii_scrub(docs).collect()
+    assert len(got) == len(oracle)
+    for r in got:
+        o_text, o_email, o_ssn, o_ipv4, o_phone = oracle[r["doc_id"]]
+        assert r["text"] == o_text, r["doc_id"]
+        assert (r["n_email"], r["n_ssn"], r["n_ipv4"], r["n_phone"]) == (
+            o_email, o_ssn, o_ipv4, o_phone,
+        ), r["doc_id"]
+
+
+def test_repetition_stats_fixture(spark):
+    from modelardb_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, "same line\nsame line\nsame line\nother"),
+        (2, "a a a a b"),
+        (3, "all unique words here\nsecond line"),
+        (4, ""),
+        (5, "   \n \n  "),  # whitespace-only lines/words
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # 4 non-empty lines, 2 distinct -> 1 - 2/4
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[2]["top_word_frac"] == 0.8 and out[2]["n_words"] == 5
+    assert out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_word_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_frac"] == 0.0
+    assert out[5]["n_words"] == 0 and out[5]["top_word_frac"] == 0.0
+
+
+def test_pii_and_repetition_are_map_only(spark, docs):
+    """Scrub + repetition must stay shuffle-free single-projection
+    plans (no Exchange, no Python workers) — the 100 TB requirement."""
+    from modelardb_spark.operators.textstats import (
+        pii_scrub,
+        repetition_stats,
+    )
+
+    for op in (pii_scrub, repetition_stats):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan, plan
