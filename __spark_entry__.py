@@ -645,6 +645,10 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.textstats import load_documents
 
     docs = load_documents(spark, sf_dir)
+    # direct path, not near_dup_clusters: the exact-collapse prepass
+    # wins on large exact-dup-heavy corpora (the curate job uses it)
+    # but at this table's size its extra materialization barriers cost
+    # more than the LSH work they save (measured 9.5 s vs 5.5 s)
     pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.35)
     return duplicate_clusters(pairs, docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),

@@ -159,6 +159,43 @@ def main() -> None:
                           "runs_sec": [round(d, 2) for d in dts]}))
         return
 
+    if "--curate-rung" in sys.argv:
+        # robustness rung for the TRAINING-DATA path (the transcript
+        # pipeline has its own 2.1M-100M rungs): synthesize
+        # BENCH_CURATE_DOCS documents with planted duplicate families
+        # (~10% exact + ~10% near dups), run the full curation job —
+        # quality gate -> MinHash/LSH pairs -> connected components ->
+        # decontamination-free sampling -> sequence packing — and
+        # report docs/sec. Input is materialized (persisted) outside
+        # the timed window, like the pipeline rung; a small untimed
+        # warmup spins up codegen and Python workers first.
+        from modelardb_spark.jobs.curate import curate
+        from modelardb_spark.operators.textstats import synthetic_documents
+
+        n_docs = int(os.environ.get("BENCH_CURATE_DOCS", "200000"))
+        spark = _spark(CPUS)
+        load0 = round(os.getloadavg()[0], 2)
+        docs = synthetic_documents(spark, n_docs).persist()
+        docs.count()
+        curate(spark, synthetic_documents(spark, 2000), budget=2048,
+               max_dup_line_frac=0.95)  # warmup (discarded)
+        t0 = time.time()
+        curated, stats = curate(
+            spark, docs, budget=2048, max_dup_line_frac=0.95
+        )
+        dt = time.time() - t0
+        spark.stop()
+        print(json.dumps({
+            "metric": "docs/sec curated (gate+dedup+cluster+sample+pack)",
+            "docs": n_docs,
+            "sec": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt),
+            "stats": stats,
+            "loadavg_1m_start": load0,
+            "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        }))
+        return
+
     if "--scaling-executors" in sys.argv:
         # TRUE multi-executor rung: local-cluster[N, cores, mem] spawns
         # N separate executor JVMs (own heap, own shuffle files, own

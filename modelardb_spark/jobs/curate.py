@@ -63,8 +63,7 @@ def curate(
     row per kept document with its cluster and packing assignment."""
     from modelardb_spark.operators.dedup import (
         decontaminate,
-        duplicate_clusters,
-        minhash_lsh_pairs,
+        near_dup_clusters,
         sample_one_per_cluster,
     )
     from modelardb_spark.operators.packing import pack_sequences
@@ -81,8 +80,16 @@ def curate(
             docs, max_dup_line_frac, max_top_word_frac
         )
 
-    pairs = minhash_lsh_pairs(docs, jaccard_threshold=jaccard_threshold)
-    clusters = duplicate_clusters(pairs, docs)
+    # exact dups collapse before the LSH (semantics-preserving, see
+    # near_dup_clusters) and the shingle/signature frames materialize
+    # once (persist_intermediate): the curation corpus is assumed
+    # bigger than the page cache, where the lazy plan's ~5x lineage
+    # replay loses (measured at 100k docs)
+    clusters = near_dup_clusters(
+        docs,
+        jaccard_threshold=jaccard_threshold,
+        persist_intermediate=True,
+    )
 
     if benchmark is not None:
         verdicts = decontaminate(docs, benchmark, min_shared=min_shared)

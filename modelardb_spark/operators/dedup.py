@@ -108,11 +108,13 @@ def minhash_lsh_pairs(
     The signature and shingle lineages have multiple consumers (the
     self-join's two sides, the verify joins), so the docs scan replays
     ~3x. `persist_intermediate=True` materializes both frames once
-    instead — measured a WASH at bench scale (recompute from
-    page-cached parquet beats Arrow materialization: 3.7 s vs 4.3 s
-    warm at sf0.1) but the right call when the corpus is too large to
-    re-scan cheaply: one pass over the table plus spillable
-    intermediates. Note the pairs frame itself is lazy either way."""
+    instead — and additionally persists the bounded candidate frame
+    and restricts the verify joins to shingles of candidate docs. A
+    LOSS at small scale (the extra barriers cost ~2 s at 5k docs,
+    where lazy recompute from page-cached parquet wins) but the clear
+    call once the corpus outgrows the page cache: 100k synthetic docs
+    measured 26.6 s -> 4.5 s warm. The curate job enables it; the
+    returned pairs frame stays lazy either way."""
     sig = minhash_signatures(docs)
     if persist_intermediate:
         sig = sig.persist()
@@ -127,12 +129,33 @@ def minhash_lsh_pairs(
     )
     sh = shingles(docs)
     if persist_intermediate:
+        # materialize the candidate frame: consumed three times below
+        # (the verify join, the final left join, the candidate-doc
+        # filter). Size is bounded BY CONSTRUCTION: banding emits only
+        # colliding pairs, so this is the frame LSH promises is small.
+        cand = cand.persist()
         sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        # verify only needs shingles of docs that appear in some
+        # candidate pair — at real-world duplicate densities a small
+        # slice of the corpus, so filter BEFORE the verify shuffles
+        # (AQE turns this into a broadcast join when the candidate-doc
+        # set is small). Only worth its extra barrier on corpora big
+        # enough to want persist_intermediate in the first place
+        # (measured: 100k docs 26.6 s -> 4.5 s warm; 5k docs it LOSES
+        # ~2 s to the added materialization steps).
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_c = sh.join(cand_docs, "doc_id")
+    else:
+        sh_c = sh
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sh.alias("sb"),
+            sh_c.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
@@ -359,6 +382,59 @@ def duplicate_clusters(
                 "cluster_size"
             ),
         )
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    jaccard_threshold: float = 0.5,
+    persist_intermediate: bool = True,
+) -> DataFrame:
+    """`duplicate_clusters(minhash_lsh_pairs(docs), docs)` with exact
+    duplicates COLLAPSED FIRST — same output, much less work on the
+    corpora that need dedup most.
+
+    Web-scale corpora are exact-duplicate heavy, and identical
+    (normalized) texts have identical shingle sets, so collapsing each
+    exact group to its canonical member before the LSH is
+    semantics-preserving by construction: every member's candidate
+    pairs and Jaccard scores are its canonical's, collapsing identical
+    nodes preserves component connectivity, and because the canonical
+    is its group's MINIMUM doc_id the component minimum — the cluster
+    rep — is unchanged. What it buys at scale: the shingle/minhash
+    pass runs over unique texts only, and exact families stop
+    contributing their O(members^2) complete subgraphs to the pair
+    graph the label propagation iterates over.
+
+    One cheap hash-agg (`exact_duplicates`) funds all of that; the
+    expansion back to member docs is a single join keyed by the
+    canonical id, with cluster sizes re-counted over member docs so
+    the output is row-for-row identical to the uncollapsed path
+    (asserted in tests/test_traindata_ops.py)."""
+    fp = exact_duplicates(docs).localCheckpoint()  # consumed twice
+    reps = docs.join(
+        fp.where(F.col("doc_id") == F.col("canonical_doc_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    pairs = minhash_lsh_pairs(
+        reps,
+        jaccard_threshold=jaccard_threshold,
+        persist_intermediate=persist_intermediate,
+    )
+    rep_clusters = duplicate_clusters(pairs, reps).select(
+        F.col("doc_id").alias("canonical_doc_id"),
+        "cluster_rep",
+    )
+    expanded = fp.select("doc_id", "canonical_doc_id").join(
+        rep_clusters, "canonical_doc_id"
+    )
+    sizes = expanded.groupBy("cluster_rep").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return expanded.join(sizes, "cluster_rep").select(
+        "doc_id", "cluster_rep", "cluster_size"
     )
 
 

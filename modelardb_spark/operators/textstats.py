@@ -258,3 +258,44 @@ def repetition_filter(
     if max_top_word_frac is not None:
         cond = cond & (top_word_frac <= max_top_word_frac)
     return docs.where(cond)
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int = 100_000,
+    words_per_doc: int = 60,
+    vocab: int = 50_000,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded synthetic `documents` table at arbitrary scale, generated
+    distributedly (spark.range -> column expressions only — no Python,
+    no driver materialization), with planted duplicate structure:
+
+      doc_id % 10 == 8  -> EXACT copy of the family base (id - id%100)
+      doc_id % 10 == 9  -> NEAR duplicate of the base (two words appended)
+      everything else   -> unique (word stream seeded by own id)
+
+    so ~10% of docs are exact dups and ~10% near dups of ~1% family
+    bases — the shape a curation robustness rung needs: LSH bands get
+    real collisions, clusters get multi-member families, and the
+    expected kept-fraction is checkable in closed form. Word k of doc
+    `src` is `w<pmod(hash(seed, src, k), vocab)>`: murmur3 per word,
+    cheap and deterministic across partitionings.
+    """
+    base = F.col("id") - F.col("id") % 100
+    src = F.when(F.col("id") % 10 >= 8, base).otherwise(F.col("id"))
+    word = lambda k: F.concat(  # noqa: E731
+        F.lit("w"), F.pmod(F.hash(F.lit(seed), src, k), F.lit(vocab))
+    )
+    text = F.concat_ws(
+        " ", F.transform(F.sequence(F.lit(1), F.lit(words_per_doc)), word)
+    )
+    text = F.when(
+        F.col("id") % 10 == 9,
+        F.concat(text, F.lit(" near"), F.col("id") % 100),
+    ).otherwise(text)
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )

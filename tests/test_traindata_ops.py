@@ -802,3 +802,54 @@ def test_pii_and_repetition_are_map_only(spark, docs):
         plan = op(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "Python" not in plan, plan
+
+
+def test_synthetic_documents_planted_structure(spark):
+    from modelardb_spark.operators.dedup import exact_duplicates
+    from modelardb_spark.operators.textstats import synthetic_documents
+
+    docs = synthetic_documents(spark, n_docs=1000, words_per_doc=20)
+    assert docs.count() == 1000
+    # deterministic across invocations and partitionings
+    a = docs.orderBy("doc_id").limit(5).collect()
+    b = (
+        synthetic_documents(spark, n_docs=1000, words_per_doc=20)
+        .repartition(7)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    assert a == b
+    # exact dups: id%10==8 copies base id-(id%100) -> 100 exact-dup
+    # docs, each equal to its family base's text
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows[108] == rows[100]
+    assert rows[9].startswith(rows[0]) and rows[9].endswith(" near9")
+    # exact families at n=1000: 10 bases (0,100,...,900), each with 10
+    # %10==8 members -> 110 docs sit in a group_size-11 family;
+    # near-dups (%10==9) append a suffix so they are NOT exact members
+    dup_rows = exact_duplicates(docs).where("group_size > 1")
+    assert dup_rows.count() == 110
+    assert dup_rows.select("group_size").distinct().collect()[0][0] == 11
+
+
+def test_near_dup_clusters_equivalent_to_uncollapsed(spark):
+    """Pre-collapsing exact dups must be invisible in the output:
+    row-for-row identical clusters on a corpus with planted exact
+    families, near-dup members, and singletons."""
+    from modelardb_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+    from modelardb_spark.operators.textstats import synthetic_documents
+
+    docs = synthetic_documents(spark, 2000, words_per_doc=20).persist()
+    base = duplicate_clusters(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5), docs
+    )
+    fast = near_dup_clusters(docs, jaccard_threshold=0.5)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+    docs.unpersist()
