@@ -137,15 +137,18 @@ def main() -> None:
     if "--pipeline-only" in sys.argv:
         # isolated measurement in a fresh JVM. Default is ONE timed run
         # (used by --scaling, whose protocol wants fresh-JVM rounds);
-        # BENCH_PIPELINE_ROUNDS > 1 adds an untimed full-size warmup
+        # BENCH_SUBPROC_ROUNDS > 1 adds an untimed full-size warmup
         # then best-of-N INSIDE this process — used by the multi-exec
         # side measurement so the expensive local-cluster spin-up and
-        # cold codegen are paid once, not once per timed run
+        # cold codegen are paid once, not once per timed run. (Named
+        # distinctly from BENCH_PIPELINE_ROUNDS — the headline's
+        # best-of knob — which a user may export without intending to
+        # rewrite the fresh-JVM scaling protocol.)
         cores = CPUS
         spark = _spark(cores)
         n_convs = int(os.environ.get("BENCH_SCALING_CONVS", SYN_CONVS))
         turns = int(os.environ.get("BENCH_SCALING_TURNS", SYN_TURNS))
-        rounds = int(os.environ.get("BENCH_PIPELINE_ROUNDS", "1"))
+        rounds = int(os.environ.get("BENCH_SUBPROC_ROUNDS", "1"))
         if rounds > 1:
             headline_pipeline(spark, n_convs, turns)  # warmup (discarded)
         dts = []
@@ -154,9 +157,12 @@ def main() -> None:
             dts.append(dt)
         dt = min(dts)
         spark.stop()
+        # tps per run computed from the UNROUNDED durations so every
+        # figure in the record is the same measurement
         print(json.dumps({"turns": n, "sec": round(dt, 2),
                           "turns_per_sec": round(n / dt),
-                          "runs_sec": [round(d, 2) for d in dts]}))
+                          "runs_sec": [round(d, 2) for d in dts],
+                          "runs_tps": [round(n / d) for d in dts]}))
         return
 
     if "--curate-rung" in sys.argv:
@@ -216,6 +222,8 @@ def main() -> None:
             BENCH_SCALING_TURNS=os.environ.get("BENCH_SCALING_TURNS", "1500"),
             SPARK_GRAFT_DRIVER_MEM="8g",
         )
+        # the scaling protocol is strictly one timed run per fresh JVM
+        env_base.pop("BENCH_SUBPROC_ROUNDS", None)
         all_runs: dict[str, list] = {"1": [], "4": []}
         for _ in range(rounds):
             for execs in ("1", "4"):
@@ -281,6 +289,8 @@ def main() -> None:
             BENCH_SCALING_CONVS=os.environ.get("BENCH_SCALING_CONVS", "6000"),
             BENCH_SCALING_TURNS=os.environ.get("BENCH_SCALING_TURNS", "1500"),
         )
+        # the scaling protocol is strictly one timed run per fresh JVM
+        env_base.pop("BENCH_SUBPROC_ROUNDS", None)
         pin = shutil.which("taskset") is not None
         all_runs: dict[str, list] = {lo: [], hi: []}
         for _ in range(rounds):
@@ -363,11 +373,11 @@ def main() -> None:
         )
         # same discipline as the headline: ONE subprocess holding the
         # spun-up cluster does an untimed full-size warmup then
-        # best-of-3 timed runs (BENCH_PIPELINE_ROUNDS), so the 4-JVM
+        # best-of-3 timed runs (BENCH_SUBPROC_ROUNDS), so the 4-JVM
         # spin-up and cold codegen are never inside a timed window;
         # measured RIGHT AFTER the pipeline so both topologies see the
         # same load window
-        env["BENCH_PIPELINE_ROUNDS"] = "3"
+        env["BENCH_SUBPROC_ROUNDS"] = "3"
         out = subprocess.run(
             [sys.executable, __file__, "--pipeline-only"],
             capture_output=True, text=True, env=env, timeout=900,
@@ -375,9 +385,6 @@ def main() -> None:
         if out.returncode == 0:
             multi_exec = json.loads(out.stdout.strip().splitlines()[-1])
             multi_exec["topology"] = f"local-cluster[4,{per},8192]"
-            multi_exec["runs_tps"] = [
-                round(multi_exec["turns"] / d) for d in multi_exec["runs_sec"]
-            ]
             multi_exec["warmup"] = "1 untimed full-size run, best-of-3"
     except Exception:
         multi_exec = None

@@ -68,6 +68,11 @@ DEFAULT_VNODES = 16
 
 _TR = "tr"
 
+#: minimum age before another writer's crash-leftover .trash-/.staging
+#: debris may be swept (a live writer finishes a swap in seconds; an
+#: hour leaves a wide margin for stalled executors)
+TRASH_GRACE_NS = 3600 * 10**9
+
 
 def parse_connection(connection_string: str) -> tuple[str, str, str, str]:
     """``host?keyspace=ks&username=u&password=p`` -> (host, keyspace,
@@ -296,11 +301,23 @@ class CqlCatalog(TableCatalog):
         )
         base = self.path(name)
         os.makedirs(base, exist_ok=True)
-        # sweep trash left by a previous crash: its contents were
-        # already logically replaced when it was renamed aside
+        # sweep trash left by a previous CRASHED writer (its contents
+        # were already logically replaced when it was renamed aside) —
+        # but only trash older than a grace period: a LIVE concurrent
+        # writer's trash dir (this method removes its own in the
+        # finally) must never be rmtree'd mid-swap, or its next
+        # rename-aside raises. Same writer-safety rule as the snapshot
+        # catalog's orphan GC; the dir name embeds time_ns for the age
+        # check so no stat call races the owner's cleanup.
+        now_ns = time.time_ns()
         for d in os.listdir(base):
             if d.startswith(".trash-"):
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                try:
+                    age_ns = now_ns - int(d.rsplit("-", 1)[-1])
+                except ValueError:
+                    age_ns = TRASH_GRACE_NS + 1  # unparseable = ancient
+                if age_ns > TRASH_GRACE_NS:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         trash = os.path.join(base, f".trash-{os.getpid()}-{time.time_ns()}")
         os.makedirs(trash)
         try:

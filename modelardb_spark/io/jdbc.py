@@ -235,6 +235,31 @@ class JdbcCatalog:
         import os as _os
         import time as _time
 
+        # sweep stages orphaned by CRASHED writers (a hard kill skips
+        # the finally-DROP below and a unique name is never reused, so
+        # leaked stages would otherwise accrete forever): the embedded
+        # backends are single-host, so a stage whose embedded pid is
+        # no longer alive belongs to no one. A live concurrent
+        # writer's stage is untouched by construction.
+        try:
+            leftovers = self._query(
+                "SELECT tablename FROM sys.systables WHERE tablename LIKE "
+                f"'{name.upper()}_STAGE_%'"
+            )
+        except Exception:
+            leftovers = []  # non-Derby catalog dialect: skip the sweep
+        for (tname,) in leftovers:
+            try:
+                pid = int(tname.rsplit("_", 2)[-2])
+                _os.kill(pid, 0)  # raises if the owner is gone
+            except (ValueError, IndexError):
+                pass  # unparseable name: leave it for a human
+            except OSError:
+                try:
+                    self._execute(f'DROP TABLE "{tname}"')
+                except Exception:
+                    pass  # concurrent sweeper got it first
+
         stage = f"{name}_stage_{_os.getpid()}_{_time.time_ns() % 10**12}"
         self._write(df, stage, "overwrite")
         try:
@@ -251,7 +276,8 @@ class JdbcCatalog:
             try:
                 self._execute(f"DROP TABLE {stage}")
             except Exception:
-                pass  # scratch; a leaked stage is re-created next run
+                pass  # a hard crash leaks the stage; the dead-writer
+                # sweep above reclaims it on the next overwrite
 
     def drop_partitions(self, name: str, column: str, values: list) -> int:
         if not self.exists(name) or not values:

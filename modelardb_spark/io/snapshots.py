@@ -528,6 +528,15 @@ class SnapshotCatalog:
         ):
             if not os.path.isdir(base_dir):
                 continue
+            # snapshot every dir's age BEFORE the sweep deletes
+            # anything: unlinking a file (or rmdir'ing a child, walked
+            # first because topdown=False) bumps the parent's mtime,
+            # which would make freshly-emptied dirs look "young"
+            # forever — one vacuum per nesting level per grace period
+            dir_was_young = {
+                dirpath: young(dirpath)
+                for dirpath, _d, _f in os.walk(base_dir)
+            }
             for dirpath, _dirs, files in os.walk(base_dir, topdown=False):
                 for fn in files:
                     full = os.path.normpath(os.path.join(dirpath, fn))
@@ -541,8 +550,8 @@ class SnapshotCatalog:
                 # in between) must not crash the sweep
                 if (
                     dirpath != base_dir
+                    and not dir_was_young.get(dirpath, True)
                     and not os.listdir(dirpath)
-                    and not young(dirpath)
                 ):
                     try:
                         os.rmdir(dirpath)

@@ -89,16 +89,21 @@ def curate(
         docs,
         jaccard_threshold=jaccard_threshold,
         persist_intermediate=True,
-    )
+    ).localCheckpoint()
+    # one row per gated doc, already materialized — the gated-corpus
+    # count is free here, where a docs.count() would re-run the gate
+    # expressions over the full corpus a second time
+    n_in = clusters.count()
 
     if benchmark is not None:
         verdicts = decontaminate(docs, benchmark, min_shared=min_shared)
         clusters = clusters.join(
             verdicts.select("doc_id", "contaminated"), "doc_id"
         ).where(~F.col("contaminated")).drop("contaminated")
-    # materialize once: consumed by the sampler, the packer's semi-join
-    # and the stats counts below
-    clusters = clusters.localCheckpoint()
+        # materialize the survivors once: consumed by the sampler, the
+        # packer's semi-join and the stats counts below (the join's
+        # decontaminate side scans the corpus — once, not per consumer)
+        clusters = clusters.localCheckpoint()
     # sample AFTER decontamination so a cluster whose sampled member
     # was contaminated still survives through another member
     kept = sample_one_per_cluster(clusters, seed=seed)
@@ -119,7 +124,6 @@ def curate(
         "truncated",
     )
     curated = curated.localCheckpoint()  # one computation for stats + write
-    n_in = docs.count()
     n_clean = clusters.count()  # docs surviving decontamination
     n_kept = curated.count()
     seq = curated.groupBy("seq_id").agg(

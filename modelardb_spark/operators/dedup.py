@@ -178,6 +178,11 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= jaccard_threshold)
     )
+    if persist_intermediate:
+        # callers that fully materialize downstream state (e.g.
+        # near_dup_clusters' eager edge checkpoint) can release the
+        # corpus-scale caches early instead of waiting for GC
+        out._persisted_intermediates = (sig, sh, cand)
     return out
 
 
@@ -410,7 +415,25 @@ def near_dup_clusters(
     expansion back to member docs is a single join keyed by the
     canonical id, with cluster sizes re-counted over member docs so
     the output is row-for-row identical to the uncollapsed path
-    (asserted in tests/test_traindata_ops.py)."""
+    (asserted in tests/test_traindata_ops.py).
+
+    Docs too short to shingle (< SHINGLE_WORDS normalized tokens,
+    including empty text) are NOT collapsed: the uncollapsed path can
+    never pair them (no shingles -> no candidates), so equivalence
+    requires they stay singletons here too, even when their texts are
+    byte-identical."""
+    n_toks = F.size(F.split(F.col("norm"), " "))
+    eligible = normalized(docs).select(
+        "doc_id", (n_toks >= SHINGLE_WORDS).alias("_sh_ok")
+    )
+    short = eligible.where(~F.col("_sh_ok")).select(
+        "doc_id",
+        F.col("doc_id").alias("cluster_rep"),
+        F.lit(1).cast("long").alias("cluster_size"),
+    )
+    docs = docs.join(
+        eligible.where(F.col("_sh_ok")).select("doc_id"), "doc_id"
+    )
     fp = exact_duplicates(docs).localCheckpoint()  # consumed twice
     reps = docs.join(
         fp.where(F.col("doc_id") == F.col("canonical_doc_id")).select(
@@ -427,14 +450,23 @@ def near_dup_clusters(
         F.col("doc_id").alias("canonical_doc_id"),
         "cluster_rep",
     )
+    # duplicate_clusters eagerly checkpoints the edge frame and every
+    # propagation round during the call above, so nothing downstream
+    # still reads the corpus-scale shingle/signature/candidate caches
+    # — release them now instead of pinning them for the rest of the
+    # caller's job (they are that job's largest allocation)
+    for f in getattr(pairs, "_persisted_intermediates", ()):
+        f.unpersist()
     expanded = fp.select("doc_id", "canonical_doc_id").join(
         rep_clusters, "canonical_doc_id"
     )
     sizes = expanded.groupBy("cluster_rep").agg(
         F.count("*").alias("cluster_size")
     )
-    return expanded.join(sizes, "cluster_rep").select(
-        "doc_id", "cluster_rep", "cluster_size"
+    return (
+        expanded.join(sizes, "cluster_rep")
+        .select("doc_id", "cluster_rep", "cluster_size")
+        .unionByName(short)
     )
 
 

@@ -142,7 +142,13 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d().\-\s]{7,}\d", "<PHONE>"),
+    # digits joined by at most TWO separator chars each (covers
+    # ") 1" / " (" in "+1 (555) 123-4567"), 7-14 digits total, and no
+    # \s class so a match can never span lines or swallow an unbounded
+    # whitespace-separated numeric run. Still errs toward redaction on
+    # dense numeric text (e.g. year lists) — the right direction for a
+    # scrubber, documented rather than hidden.
+    ("phone", r"\+?\d(?:[ ().\-]{0,2}\d){6,13}", "<PHONE>"),
 ]
 
 
@@ -194,6 +200,10 @@ def _repetition_exprs(text):
     """(n_lines, dup_line_frac, n_words, top_word_frac) expressions —
     shared by the stats view and the curation-time gate so both ways
     of asking the question are the same computation."""
+    # NULL text must behave like empty text (0.0 fractions), not
+    # propagate NULL through the fractions — a NULL fraction would
+    # silently drop the doc at any active gate
+    text = F.coalesce(text, F.lit(""))
     lines = F.filter(
         F.split(text, "\n"),
         lambda x: F.length(F.trim(x)) > 0,

@@ -168,3 +168,29 @@ def test_cql_live_plane_is_honest_stub():
     clearly instead of pretending."""
     with pytest.raises(NotImplementedError, match="cassandra-driver"):
         _send_rows([{"conv_id": "c"}], "127.0.0.1")
+
+
+def test_cql_trash_sweep_spares_live_writers(spark, tmp_path):
+    """The crash-leftover trash sweep must never delete a CONCURRENT
+    writer's young trash dir mid-swap; only trash older than the grace
+    period is reclaimed."""
+    import time as _time
+
+    from modelardb_spark.io.cql import TRASH_GRACE_NS
+
+    cat = CqlCatalog(str(tmp_path / "ks2"))
+    df = spark.createDataFrame(
+        [("c1", "m", 10, 1)],
+        "conv_id STRING, metric STRING, start_ms LONG, part_day LONG",
+    )
+    cat.overwrite_partitions(df, "t", ["part_day"])
+    base = cat.path("t")
+    young = os.path.join(base, f".trash-99999-{_time.time_ns()}")
+    old = os.path.join(
+        base, f".trash-99998-{_time.time_ns() - TRASH_GRACE_NS - 1}"
+    )
+    os.makedirs(os.path.join(young, "0"))
+    os.makedirs(os.path.join(old, "0"))
+    cat.overwrite_partitions(df, "t", ["part_day"])
+    assert os.path.isdir(young)   # live concurrent writer: untouched
+    assert not os.path.exists(old)  # crashed writer: reclaimed

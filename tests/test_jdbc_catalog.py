@@ -164,3 +164,30 @@ def test_transfer_dir_edge_to_jdbc_cloud(spark, sf_small, tmp_path):
     assert _rows(dst.select(*src.columns)) == _rows(src)
     dup = dst.groupBy(*SEGMENT_KEYS).count().where(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_jdbc_dead_writer_stage_swept_live_stage_kept(spark, tmp_path):
+    """A hard-crashed writer leaks its unique stage table; the next
+    overwrite reclaims it (embedded pid no longer alive) while a stage
+    owned by a LIVE pid is left alone."""
+    import os
+    import subprocess
+
+    cat = JdbcCatalog(str(tmp_path / "db_sweep"))
+    df0 = spark.createDataFrame(
+        [("a", 1, 10)], "k string, part_day int, v long"
+    )
+    cat.overwrite_partitions(df0, "t", ["part_day"])
+    # dead pid: a subprocess that has already exited
+    p = subprocess.Popen(["true"])  # noqa: S603,S607
+    p.wait()
+    dead_stage = f"t_stage_{p.pid}_123"
+    live_stage = f"t_stage_{os.getpid()}_456"
+    cat._execute(
+        f'CREATE TABLE {dead_stage} ("x" INT)',
+        f'CREATE TABLE {live_stage} ("x" INT)',
+    )
+    cat.overwrite_partitions(df0, "t", ["part_day"])
+    assert not cat.exists(dead_stage)
+    assert cat.exists(live_stage)
+    cat._execute(f"DROP TABLE {live_stage}")

@@ -411,3 +411,34 @@ def test_current_version_survives_stale_hint_after_expiry(spark, tmp_path):
         f.write("1")
     assert cat.current_version("t") == 4
     assert len(_rows(cat.read(spark, "t"))) == 4
+
+
+def test_expire_removes_emptied_dirs_same_sweep_with_grace(spark, tmp_path):
+    """A dir emptied BY the sweep must be removed in that same sweep
+    even under a nonzero grace period: unlinking the files bumps the
+    dir mtime, so the age check has to use the pre-sweep mtime (a dir
+    that merely LOOKS young because the sweep touched it is not an
+    in-flight writer's)."""
+    import os
+    import time as _time
+
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.overwrite(_df(spark, [("a", 1, 1), ("b", 2, 2)]), "t", ["part"])
+    cat.overwrite(_df(spark, [("a", 1, 9)]), "t", ["part"])  # part=2 orphaned
+    # age everything beyond the grace period
+    old = _time.time() - 3600
+    for root in (str(tmp_path),):
+        for dirpath, dirs, files in os.walk(root):
+            for p in [dirpath] + [os.path.join(dirpath, f) for f in files]:
+                os.utime(p, (old, old))
+    gone = cat.expire_snapshots("t", keep_last=1, older_than_s=600)
+    assert gone["data_files"] >= 1
+    # the emptied part=2 commit dirs vanished in THIS sweep
+    leftovers = [
+        os.path.join(d, x)
+        for d, xs, fs in os.walk(str(tmp_path))
+        for x in xs
+        if not os.listdir(os.path.join(d, x))
+    ]
+    assert leftovers == [], leftovers
+    assert _rows(cat.read(spark, "t")) == [("a", 1, 9)]

@@ -853,3 +853,33 @@ def test_near_dup_clusters_equivalent_to_uncollapsed(spark):
     b = sorted(map(tuple, fast.collect()))
     assert a == b
     docs.unpersist()
+
+
+def test_near_dup_clusters_short_docs_stay_singletons(spark):
+    """Docs below the shingle floor (< 3 tokens, or empty) can never be
+    paired by the LSH path, so the exact-collapse prepass must leave
+    them as singletons too — even byte-identical ones."""
+    from modelardb_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    rows = [(i, "ok") for i in range(5)]  # identical 1-token docs
+    rows += [(10, ""), (11, ""), (12, "  ")]  # empty/whitespace
+    rows += [(20, "a b"), (21, "a b")]  # identical 2-token docs
+    rows += [
+        (30, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        (31, "w1 w2 w3 w4 w5 w6 w7 w8"),  # identical shingled docs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = duplicate_clusters(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5), docs
+    )
+    fast = near_dup_clusters(docs, jaccard_threshold=0.5)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b
+    by_id = dict((r[0], r) for r in b)
+    assert by_id[1] == (1, 1, 1)  # short identical doc: singleton
+    assert by_id[31] == (31, 30, 2)  # shingled identical doc: clustered
