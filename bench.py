@@ -184,10 +184,12 @@ def main() -> None:
         docs = synthetic_documents(spark, n_docs).persist()
         docs.count()
         curate(spark, synthetic_documents(spark, 2000), budget=2048,
-               max_dup_line_frac=0.95)  # warmup (discarded)
+               max_dup_line_frac=0.95,
+               max_top_word_frac=0.9)  # warmup (discarded)
         t0 = time.time()
         curated, stats = curate(
-            spark, docs, budget=2048, max_dup_line_frac=0.95
+            spark, docs, budget=2048, max_dup_line_frac=0.95,
+            max_top_word_frac=0.9,  # catches the planted ~1% degenerate docs
         )
         dt = time.time() - t0
         spark.stop()

@@ -74,11 +74,21 @@ def curate(
     # pre-gate count is only taken when a gate is active — ungated
     # runs keep their single docs scan)
     n_raw = None
+    docs0 = docs  # pre-gate frame: consumers that join on keys derived
+    # from the gated frame (decontaminate via clusters, the packer via
+    # kept) read docs0 so the gate expressions are not re-evaluated in
+    # their scans — the join keys already encode the gate
+    gated = None
     if max_dup_line_frac is not None or max_top_word_frac is not None:
         n_raw = docs.count()
-        docs = repetition_filter(
+        # persist the gated frame: near_dup_clusters scans its input
+        # several times (eligibility, exact groups, shingles) and the
+        # gate expressions are the priciest per-row predicates in the
+        # job — evaluate them once, not per scan (MEMORY_AND_DISK by
+        # default, so a corpus bigger than RAM spills instead of OOM)
+        gated = docs = repetition_filter(
             docs, max_dup_line_frac, max_top_word_frac
-        )
+        ).persist()
 
     # exact dups collapse before the LSH (semantics-preserving, see
     # near_dup_clusters) and the shingle/signature frames materialize
@@ -94,9 +104,11 @@ def curate(
     # count is free here, where a docs.count() would re-run the gate
     # expressions over the full corpus a second time
     n_in = clusters.count()
+    if gated is not None:
+        gated.unpersist()  # nothing downstream reads the gated frame
 
     if benchmark is not None:
-        verdicts = decontaminate(docs, benchmark, min_shared=min_shared)
+        verdicts = decontaminate(docs0, benchmark, min_shared=min_shared)
         clusters = clusters.join(
             verdicts.select("doc_id", "contaminated"), "doc_id"
         ).where(~F.col("contaminated")).drop("contaminated")
@@ -109,7 +121,7 @@ def curate(
     kept = sample_one_per_cluster(clusters, seed=seed)
 
     packed = pack_sequences(
-        docs.join(kept.select("doc_id"), "doc_id"),
+        docs0.join(kept.select("doc_id"), "doc_id"),
         budget=budget,
         parts=pack_parts,
     )

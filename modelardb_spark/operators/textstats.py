@@ -216,11 +216,26 @@ def _repetition_exprs(text):
         F.split(F.lower(text), r"\s+"), lambda x: F.length(x) > 0
     )
     n_words = F.size(words)
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # most-common-word count = longest run of equals in the SORTED
+    # array — O(n log n) per row instead of the O(n^2)
+    # distinct x filter scan (which measurably dominated the curation
+    # gate: the filter expression re-evaluates in every consumer scan)
+    run = lambda acc, x: F.when(  # noqa: E731
+        x == acc["prev"], acc["run"] + 1
+    ).otherwise(F.lit(1))
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_word_frac = F.when(n_words <= 0, F.lit(0.0)).otherwise(
         top_count / n_words.cast("double")
@@ -281,16 +296,21 @@ def synthetic_documents(
     distributedly (spark.range -> column expressions only — no Python,
     no driver materialization), with planted duplicate structure:
 
+      doc_id % 100 == 7 -> DEGENERATE (its own first word repeated) —
+                           top_word_frac 1.0, the quality gate's prey
       doc_id % 10 == 8  -> EXACT copy of the family base (id - id%100)
       doc_id % 10 == 9  -> NEAR duplicate of the base (two words appended)
       everything else   -> unique (word stream seeded by own id)
 
     so ~10% of docs are exact dups and ~10% near dups of ~1% family
-    bases — the shape a curation robustness rung needs: LSH bands get
+    bases, and ~1% are repetition-degenerate — the shape a curation
+    robustness rung needs: the gate drops real rows, LSH bands get
     real collisions, clusters get multi-member families, and the
-    expected kept-fraction is checkable in closed form. Word k of doc
-    `src` is `w<pmod(hash(seed, src, k), vocab)>`: murmur3 per word,
-    cheap and deterministic across partitionings.
+    expected kept-fraction is checkable in closed form. (Degenerate
+    docs repeat their OWN seeded word, so they are unique texts —
+    they perturb no duplicate-family count.) Word k of doc `src` is
+    `w<pmod(hash(seed, src, k), vocab)>`: murmur3 per word, cheap and
+    deterministic across partitionings.
     """
     base = F.col("id") - F.col("id") % 100
     src = F.when(F.col("id") % 10 >= 8, base).otherwise(F.col("id"))
@@ -301,6 +321,9 @@ def synthetic_documents(
         " ", F.transform(F.sequence(F.lit(1), F.lit(words_per_doc)), word)
     )
     text = F.when(
+        F.col("id") % 100 == 7,
+        F.concat_ws(" ", F.array_repeat(word(F.lit(1)), words_per_doc)),
+    ).when(
         F.col("id") % 10 == 9,
         F.concat(text, F.lit(" near"), F.col("id") % 100),
     ).otherwise(text)

@@ -883,3 +883,21 @@ def test_near_dup_clusters_short_docs_stay_singletons(spark):
     by_id = dict((r[0], r) for r in b)
     assert by_id[1] == (1, 1, 1)  # short identical doc: singleton
     assert by_id[31] == (31, 30, 2)  # shingled identical doc: clustered
+
+
+def test_synthetic_documents_degenerate_plant_gated(spark):
+    from modelardb_spark.operators.textstats import (
+        repetition_filter,
+        repetition_stats,
+        synthetic_documents,
+    )
+
+    docs = synthetic_documents(spark, 1000, words_per_doc=20)
+    stats = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    degs = [i for i in range(1000) if i % 100 == 7]
+    assert len(degs) == 10
+    for i in degs:
+        assert stats[i]["top_word_frac"] == 1.0
+    kept = repetition_filter(docs, max_top_word_frac=0.9)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == set(range(1000)) - set(degs)
