@@ -17,6 +17,9 @@ sandbox's only unsaturated 4x rung; override with BENCH_SCALE_N/_4N)
 -> throughputs at both + efficiency = (tps_hi / tps_lo) / 4.
 --scaling-executors: the TRUE multi-executor rung — local-cluster with
 1 vs 4 real executor JVMs at fixed per-executor cores/memory.
+--curate-rung: training-data robustness rung — the full curation job
+(quality gate -> dedup -> cluster -> sample -> pack) over
+BENCH_CURATE_DOCS synthetic documents with planted duplicate families.
 """
 
 from __future__ import annotations
