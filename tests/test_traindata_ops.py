@@ -901,3 +901,27 @@ def test_synthetic_documents_degenerate_plant_gated(spark):
     kept = repetition_filter(docs, max_top_word_frac=0.9)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids == set(range(1000)) - set(degs)
+
+
+def test_minhash_pairs_identical_across_persist_plans(spark):
+    """persist_intermediate switches the PLAN (materialized frames +
+    candidate-doc verify filter) — never the RESULT. Candidate-set
+    equality is the load-bearing claim: the filter drops only shingles
+    of docs in no candidate pair."""
+    from modelardb_spark.operators.dedup import minhash_lsh_pairs
+    from modelardb_spark.operators.textstats import synthetic_documents
+
+    docs = synthetic_documents(spark, 1500, words_per_doc=15).persist()
+    lazy = sorted(
+        map(tuple, minhash_lsh_pairs(docs, jaccard_threshold=0.4).collect())
+    )
+    eager = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, jaccard_threshold=0.4, persist_intermediate=True
+            ).collect(),
+        )
+    )
+    assert lazy == eager and len(lazy) > 0
+    docs.unpersist()
