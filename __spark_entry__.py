@@ -419,8 +419,15 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assert_oracle_dim(emb)
     queries_df = emb.where(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    # query_pred restricts the QUERY role to the 20 measured vectors
+    # inside the per-bucket ranking (identical rows for those queries,
+    # ~1000x less in-bucket compare work than ranking the whole corpus
+    # and filtering afterwards)
     lsh = (
-        lsh_topk(emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED, dim=64)
+        lsh_topk(
+            emb, k=_TOPK_K, bits=_TOPK_BITS, seed=_LSH_SEED, dim=64,
+            query_pred=F.col("vec_id") < 20,
+        )
         .where(F.col("query_id") < 20)
         .select("query_id", "neighbor_id")
     )

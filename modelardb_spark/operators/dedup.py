@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modelardb_spark.operators.scanpar import fan_out
+
 #: MinHash parameters: K = BANDS * ROWS_PER_BAND hash functions
 BANDS = 4
 ROWS_PER_BAND = 4
@@ -30,8 +32,15 @@ SHINGLE_WORDS = 3
 
 
 def normalized(docs: DataFrame) -> DataFrame:
+    # fan the (often single-split) documents scan out to the session's
+    # parallelism BEFORE the regex normalization: everything downstream
+    # of this projection (shingling, minhash, simhash votes) is
+    # CPU-heavy map work that would otherwise run in however few tasks
+    # the file layout produced (guide §2.5 input skew)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return docs.select("doc_id", norm.alias("norm"))
+    return fan_out(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", norm.alias("norm")
+    )
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
@@ -48,40 +57,57 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
-    """Distinct k-word shingles per document (positional slide over the
-    whitespace token array, JVM-side)."""
+def shingle_arrays(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, sh): the distinct k-word shingles of each document as
+    ONE array column — a pure map-only projection (positional slide
+    over the token array + array_distinct). Docs with fewer than k
+    tokens are dropped (they have no shingles), matching the SQL
+    generate_series guard.
+
+    This replaces the explode + global DISTINCT the round-6 shape paid
+    for: per-doc dedup needs no exchange at all, so every consumer
+    (minhash, Jaccard verify, decontamination) starts from a shuffle-
+    free frame (guide §2.4 remove shuffles outright)."""
     toks = normalized(docs).select(
         "doc_id", F.split("norm", " ").alias("toks")
     )
-    # guard: Spark's sequence(0, n) descends when n < 0, so short docs
-    # (fewer than k tokens) must be filtered, matching SQL generate_series
     toks = toks.where(F.size("toks") >= k)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.concat_ws(
-                    " ", F.slice("toks", i + 1, k)
-                ),
-            )
-        ).alias("shingle"),
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - k),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+        )
     )
-    return sh.distinct()
+    return toks.select("doc_id", arr.alias("sh"))
 
 
-def minhash_signatures(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
-    """(doc_id, band, band_hash): md5-based minhash signature folded
-    into one hash per band."""
-    sh = shingles(docs)
+def shingles(docs: DataFrame, k: int = SHINGLE_WORDS) -> DataFrame:
+    """Distinct k-word shingles per document, one row per shingle
+    (explode of `shingle_arrays` — already distinct per doc, so no
+    DISTINCT exchange)."""
+    return shingle_arrays(docs, k).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+
+
+def _minhash_from_arrays(
+    arr: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """(doc_id, band, band_hash) from a `shingle_arrays` frame: the
+    k-th minhash is array_min over md5(shingle || '#k') — the same
+    lexicographic minimum the exploded groupBy computed, but as a
+    map-only array expression (zero exchanges before the LSH join)."""
     k = bands * rows
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+
+    def _mh(i: int):
+        # NOTE: the lambda must stay single-argument — PySpark treats a
+        # two-argument transform lambda as (element, index)
+        suffix = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(s, suffix)))
+        ).alias(f"mh{i}")
+
+    mins = arr.select("doc_id", *[_mh(i) for i in range(k)])
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -96,6 +122,12 @@ def minhash_signatures(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+def minhash_signatures(docs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, band_hash): md5-based minhash signature folded
+    into one hash per band. Map-only up to the consumer's first join."""
+    return _minhash_from_arrays(shingle_arrays(docs), bands, rows)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     jaccard_threshold: float = 0.5,
@@ -105,19 +137,24 @@ def minhash_lsh_pairs(
     over the shingle sets. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b and jaccard >= threshold, rounded for portability.
 
-    The signature and shingle lineages have multiple consumers (the
-    self-join's two sides, the verify joins), so the docs scan replays
-    ~3x. `persist_intermediate=True` materializes both frames once
-    instead — and additionally persists the bounded candidate frame
-    and restricts the verify joins to shingles of candidate docs. A
-    LOSS at small scale (the extra barriers cost ~2 s at 5k docs,
-    where lazy recompute from page-cached parquet wins) but the clear
-    call once the corpus outgrows the page cache: 100k synthetic docs
-    measured 26.6 s -> 4.5 s warm. The curate job enables it; the
-    returned pairs frame stays lazy either way."""
-    sig = minhash_signatures(docs)
+    Physical shape (round 7): signatures AND the per-doc shingle sets
+    are map-only array projections (`shingle_arrays`), so the only
+    exchanges left are the banded self-join + DISTINCT over candidate
+    pairs and the two candidate-keyed verify joins. The verify is a
+    per-pair `array_intersect` of the two docs' shingle arrays —
+    equivalent to the former shingle-equality join + COUNT (both count
+    the distinct shared shingles) but it ships each candidate doc's
+    array once instead of shuffling every (doc, shingle) row, and a
+    hot shingle no longer fans out into a hot join key (guide §2.3
+    shuffle fewer bytes). `persist_intermediate=True` additionally
+    materializes the signature/array/candidate frames once for
+    multi-consumer callers (the curate job); the returned pairs frame
+    stays lazy either way."""
+    arr = shingle_arrays(docs)
+    sig = _minhash_from_arrays(arr)
     if persist_intermediate:
         sig = sig.persist()
+        arr = arr.persist()
     cand = (
         sig.alias("x")
         .join(sig.alias("y"), ["band", "band_hash"])
@@ -127,52 +164,28 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = shingles(docs)
     if persist_intermediate:
-        # materialize the candidate frame: consumed three times below
-        # (the verify join, the final left join, the candidate-doc
-        # filter). Size is bounded BY CONSTRUCTION: banding emits only
-        # colliding pairs, so this is the frame LSH promises is small.
         cand = cand.persist()
-        sh = sh.persist()
-        # verify only needs shingles of docs that appear in some
-        # candidate pair — at real-world duplicate densities a small
-        # slice of the corpus, so filter BEFORE the verify shuffles
-        # (AQE turns this into a broadcast join when the candidate-doc
-        # set is small). Only worth its extra barrier on corpora big
-        # enough to want persist_intermediate in the first place
-        # (measured: 100k docs 26.6 s -> 4.5 s warm; 5k docs it LOSES
-        # ~2 s to the added materialization steps).
-        cand_docs = (
-            cand.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+    sh_a = arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
         )
-        sh_c = sh.join(cand_docs, "doc_id")
-    else:
-        sh_c = sh
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh_c.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh_c.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
     )
     out = (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .select(
+        scored.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
         )
@@ -182,16 +195,20 @@ def minhash_lsh_pairs(
         # callers that fully materialize downstream state (e.g.
         # near_dup_clusters' eager edge checkpoint) can release the
         # corpus-scale caches early instead of waiting for GC
-        out._persisted_intermediates = (sig, sh, cand)
+        out._persisted_intermediates = (sig, arr, cand)
     return out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Brute-force pairwise Jaccard over shingle sets (the exact
     baseline the LSH path approximates; quadratic — small inputs or
-    verification only)."""
-    sh = shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    verification only). Round 7: shingle rows come pre-deduped from the
+    map-only `shingle_arrays` (no global DISTINCT exchange) and the
+    per-doc set sizes are an array length instead of a second
+    aggregation over the exploded rows."""
+    arr = shingle_arrays(docs)
+    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = arr.select("doc_id", F.size("sh").alias("n_sh"))
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")

@@ -61,10 +61,15 @@ FEATURE_SCHEMA = StructType(
 def synthetic_media(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from documents: the text
     bytes stand in for an encoded payload."""
+    from modelardb_spark.operators.scanpar import fan_out
+
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
+    # the downstream feature extraction hashes every payload in Python:
+    # fan the single-split documents scan out first
+    docs = fan_out(docs, "doc_id")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kinds.alias("kind"),
@@ -340,7 +345,14 @@ def synthetic_media_encoded(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 rows["duration_ms"].append(dur)
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+    from modelardb_spark.operators.scanpar import fan_out
+
+    # per-row container encoding is pure Python CPU: fan the (single-
+    # split) documents scan out so encode AND the downstream map-only
+    # decode run at session parallelism instead of one task
+    return fan_out(docs.select("doc_id", "text"), "doc_id").mapInPandas(
+        run, MEDIA_SCHEMA
+    )
 
 
 DECODE_SCHEMA = StructType(

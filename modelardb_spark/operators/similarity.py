@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modelardb_spark.operators.scanpar import fan_out
+
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -110,7 +112,9 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
                 }
             )
 
-    local = emb.select("vec_id", "embedding").mapInPandas(run, schema)
+    local = fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        run, schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -148,18 +152,28 @@ def embedding_near_dup_bruteforce(emb: DataFrame, threshold: float = 0.95) -> Da
             aid = pdf["vec_id"].to_numpy().astype(np.int64)
             block = np.array(list(pdf["embedding"]), dtype=np.float64)
             bnorm = np.sqrt((block * block).sum(axis=1))
-            sims = np.round((block @ m_all.T) / np.outer(bnorm, n_all), 6)
-            mask = (sims >= threshold) & (aid[:, None] < ids_all[None, :])
+            sims = (block @ m_all.T) / np.outer(bnorm, n_all)
+            # round only the rare survivors, not the whole (block x n)
+            # matrix: a 1e-4 margin below the threshold provably covers
+            # every value that could round UP to it (round-6 moves a
+            # value by at most 5e-7), then the exact round-6 compare
+            # re-applies on the gathered candidates — same result set,
+            # ~n^2 fewer np.round calls
+            mask = (sims >= threshold - 1e-4) & (aid[:, None] < ids_all[None, :])
             ai, bi = np.nonzero(mask)
+            cos = np.round(sims[ai, bi], 6)
+            keep = cos >= threshold
             yield pd.DataFrame(
                 {
-                    "vec_a": aid[ai],
-                    "vec_b": ids_all[bi],
-                    "cosine": sims[ai, bi],
+                    "vec_a": aid[ai][keep],
+                    "vec_b": ids_all[bi][keep],
+                    "cosine": cos[keep],
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+    return fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        run, schema
+    )
 
 
 def table_seed(seed: int, table: int) -> int:
@@ -203,6 +217,7 @@ def lsh_buckets_multi(
     tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    with_embedding: bool = False,
 ) -> DataFrame:
     """(vec_id, tbl, bucket): multi-table LSH — `tables` independent
     signatures per vector, computed in ONE map-only pass. Multi-table
@@ -237,13 +252,19 @@ def lsh_buckets_multi(
     ).reshape(tables * bits, dim)
     weights = (1 << np.arange(bits, dtype=np.int64))
     bq = emb.sparkSession.sparkContext.broadcast((planes, weights, tables, bits))
-    schema = StructType(
-        [
-            StructField("vec_id", LongType(), False),
-            StructField("tbl", IntegerType(), False),
-            StructField("bucket", LongType(), False),
-        ]
-    )
+    from pyspark.sql.types import ArrayType, FloatType
+
+    fields = [
+        StructField("vec_id", LongType(), False),
+        StructField("tbl", IntegerType(), False),
+        StructField("bucket", LongType(), False),
+    ]
+    if with_embedding:
+        # carry the vector alongside its signatures so a consumer that
+        # needs both (the in-bucket near-dup prefilter) avoids a join
+        # back against the corpus
+        fields.append(StructField("embedding", ArrayType(FloatType()), False))
+    schema = StructType(fields)
 
     def run(batches):
         import pandas as pd
@@ -254,15 +275,20 @@ def lsh_buckets_multi(
             block = np.array(list(pdf["embedding"]), dtype=np.float64)
             proj = block @ m_p.T  # (rows, tables*bits)
             sig = ((proj > 0).reshape(-1, n_t, n_b) * w).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(vid, n_t),
-                    "tbl": np.tile(np.arange(n_t, dtype=np.int32), vid.size),
-                    "bucket": sig.ravel(),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(vid, n_t),
+                "tbl": np.tile(np.arange(n_t, dtype=np.int32), vid.size),
+                "bucket": sig.ravel(),
+            }
+            if with_embedding:
+                out["embedding"] = pdf["embedding"].iloc[
+                    np.repeat(np.arange(vid.size), n_t)
+                ].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+    return fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        run, schema
+    )
 
 
 def embedding_near_dup(
@@ -272,28 +298,109 @@ def embedding_near_dup(
     tables: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    max_task_rows: int = 32768,
 ) -> DataFrame:
-    """Near-duplicate pairs, LSH-bucketed (the scale path — replaces
-    the round-1 driver-collect version): pairs are candidates iff they
-    share a bucket in >= 1 of `tables` LSH tables; candidates are then
-    verified with the exact cosine and kept when >= threshold.
+    """Near-duplicate pairs, LSH-bucketed (the scale path): pairs are
+    candidates iff they share a bucket in >= 1 of `tables` LSH tables;
+    candidates are verified with the exact cosine and kept when
+    >= threshold.
 
-    Scale shape: signatures are a map-only projection; the candidate
-    self-join is keyed on (tbl, bucket) so shuffle volume is
-    O(vectors x tables) + O(candidates), never O(n^2); the verify
-    join ships embeddings only for candidate ids. No driver collect of
-    the vector table anywhere. Recall is tuned with (bits, tables) —
-    see tests/test_traindata_ops.py::test_lsh_near_dup_recall for the
-    planted-near-dup recall measurement against the brute-force
-    baseline."""
-    sigs = lsh_buckets_multi(emb, bits, tables, seed, dim=dim)
-    cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["tbl", "bucket"])
-        .where(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+    Round-7 physical shape — the candidate SET never materializes.
+    The round-6 plan shipped O(sum over buckets of B^2) candidate-pair
+    rows through a DISTINCT and two embedding joins, then scored every
+    pair with the per-row JVM fold. Now each (tbl, bucket) task holds
+    its bucket's vectors (carried out of the signature pass — no join
+    back) and PREFILTERS all pairs with one NumPy/BLAS block matmul
+    (guide §4.2), emitting only pairs whose raw cosine clears
+    `threshold - 1e-4`; round-6 rounding moves a value by at most
+    5e-7, so no pair that finally rounds to >= threshold can be lost.
+    The few surviving pairs are deduped (DISTINCT over survivors, not
+    over all collisions) and re-scored with the SAME exact JVM fold +
+    round-6 expression as before — the final filter re-applies
+    exactly, so the result is bit-identical to the round-6 plan while
+    the shuffles carry survivors instead of candidates.
+
+    A hot bucket of B rows is hash-cut into ceil(B / max_task_rows)
+    slices and the all-pairs compare runs as the (upper-triangular)
+    slice grid, so no task ever holds more than ~2 slices of vectors —
+    the same cap discipline as `lsh_topk`. Recall is tuned with
+    (bits, tables); see tests/test_traindata_ops.py."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = lsh_buckets_multi(
+        emb, bits, tables, seed, dim=dim, with_embedding=True
+    )
+    sizes = rows.groupBy("tbl", "bucket").agg(F.count("*").alias("bsize"))
+    n_slices = F.greatest(
+        F.lit(1), F.ceil(F.col("bsize") / F.lit(max_task_rows))
+    ).cast("int")
+    sliced = (
+        rows.join(F.broadcast(sizes), ["tbl", "bucket"])
+        .withColumn("n_slices", n_slices)
+        .withColumn(
+            "slc", F.pmod(F.xxhash64("vec_id"), F.col("n_slices")).cast("int")
         )
+    )
+    # upper-triangular slice grid: a row of slice s is the LEFT side of
+    # cells (s, j >= s) and the RIGHT side of cells (i < s, s); the
+    # diagonal cell carries both roles so P == 1 keeps one copy per row
+    combos = F.expr(
+        """
+        flatten(array(
+          filter(transform(sequence(0, n_slices - 1),
+                           j -> struct(slc AS gi, j AS gj,
+                                       true AS is_l, j = slc AS is_r)),
+                 x -> x.gj >= slc),
+          filter(transform(sequence(0, n_slices - 1),
+                           i -> struct(i AS gi, slc AS gj,
+                                       false AS is_l, true AS is_r)),
+                 x -> x.gi < slc)
+        ))
+        """
+    )
+    fanned = sliced.withColumn("c", F.explode(combos)).select(
+        "tbl",
+        "bucket",
+        "vec_id",
+        "embedding",
+        F.col("c.gi").alias("gi"),
+        F.col("c.gj").alias("gj"),
+        F.col("c.is_l").alias("is_l"),
+        F.col("c.is_r").alias("is_r"),
+    )
+    pair_schema = StructType(
+        [
+            StructField("vec_a", LongType(), False),
+            StructField("vec_b", LongType(), False),
+        ]
+    )
+    margin = threshold - 1e-4
+
+    def prefilter(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
+        lrows = pdf[pdf["is_l"].to_numpy()]
+        rrows = pdf[pdf["is_r"].to_numpy()]
+        if lrows.empty or rrows.empty:
+            return empty
+        lid = lrows["vec_id"].to_numpy().astype(np.int64)
+        rid = rrows["vec_id"].to_numpy().astype(np.int64)
+        lm = np.array(list(lrows["embedding"]), dtype=np.float64)
+        rm = np.array(list(rrows["embedding"]), dtype=np.float64)
+        ln = np.sqrt((lm * lm).sum(axis=1))
+        rn = np.sqrt((rm * rm).sum(axis=1))
+        sims = (lm @ rm.T) / np.outer(ln, rn)
+        mask = (sims >= margin) & (lid[:, None] != rid[None, :])
+        ai, bi = np.nonzero(mask)
+        a, b = lid[ai], rid[bi]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
+        )
+
+    pairs = (
+        fanned.groupBy("tbl", "bucket", "gi", "gj")
+        .applyInPandas(lambda key, pdf: prefilter(pdf), pair_schema)
         .distinct()
     )
     base = with_norm(emb)
@@ -308,7 +415,7 @@ def embedding_near_dup(
         F.col("norm").alias("nb"),
     )
     scored = (
-        cand.join(a, "vec_a")
+        pairs.join(a, "vec_a")
         .join(b, "vec_b")
         .select(
             "vec_a",
@@ -393,8 +500,9 @@ def ivf_train(
             )
     # iterative training re-scans the corpus once per round: cache it
     # for the duration (MLlib k-means does the same; spills to disk
-    # when the corpus outgrows memory)
-    corpus = emb.select("embedding").persist()
+    # when the corpus outgrows memory). fan_out: the assignment matmul
+    # must not run single-task over a one-split file scan.
+    corpus = fan_out(emb.select("embedding")).persist()
     seed_rows = ivf_centroids(emb, n_cells).orderBy("cell").collect()
     cells = np.array([r["cell"] for r in seed_rows], dtype=np.int64)
     cm = np.array(
@@ -505,7 +613,9 @@ def ivf_assign(emb: DataFrame, cents: DataFrame, n_probe: int = 1) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+    return fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        run, schema
+    )
 
 
 def ivf_topk(
@@ -585,6 +695,7 @@ def lsh_topk(
     max_task_rows: int = 32768,
     enforce_cap: bool = False,
     dim: int | None = None,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate top-k: exact ranking *within* each LSH bucket (each
     vector lives in exactly one bucket, so bucket-local rank == final
@@ -606,7 +717,16 @@ def lsh_topk(
     ``enforce_cap`` raises inside the task if a group ever exceeds the
     statistical bound on the hash split (tests use it to prove the cap
     holds on a planted oversized bucket); production leaves it off
-    because the hash split is only probabilistically even."""
+    because the hash split is only probabilistically even.
+
+    ``query_pred`` (a boolean Column over the emb schema) restricts the
+    QUERY role to matching vectors: rows failing the predicate still
+    serve as neighbors, but no per-bucket ranking work is spent on
+    them. Per-query rank is independent of which other queries are
+    computed, so the output rows for matching queries are identical to
+    the unrestricted run filtered afterwards — at a fraction of the
+    in-bucket compare cost when the query set is small (ann_recall
+    measures 20 queries against a whole corpus)."""
     from pyspark.sql import Window
     from pyspark.sql.types import (
         DoubleType,
@@ -685,13 +805,17 @@ def lsh_topk(
         .withColumn(
             "slc", F.pmod(F.xxhash64("vec_id"), F.col("n_slices")).cast("int")
         )
+        .withColumn(
+            "isq", F.lit(True) if query_pred is None else query_pred
+        )
     )
-    # a row serves as QUERY in (qs=slc, ns=*) and as NEIGHBOR in
+    # a QUERY row serves as query in (qs=slc, ns=*) and as neighbor in
     # (qs=*, ns=slc); the diagonal combo carries both roles so a
-    # P == 1 bucket keeps exactly one copy per row
+    # P == 1 bucket keeps exactly one copy per row. A non-query row
+    # (query_pred false) takes only neighbor roles.
     combos = F.expr(
         """
-        flatten(array(
+        CASE WHEN isq THEN flatten(array(
           transform(sequence(0, n_slices - 1),
                     j -> struct(slc AS qs, j AS ns,
                                 true AS is_q, j = slc AS is_n)),
@@ -700,6 +824,10 @@ def lsh_topk(
                                        false AS is_q, true AS is_n)),
                  x -> x.qs != slc)
         ))
+        ELSE transform(sequence(0, n_slices - 1),
+                       j -> struct(j AS qs, slc AS ns,
+                                   false AS is_q, true AS is_n))
+        END
         """
     )
     fanned = sliced.withColumn("c", F.explode(combos)).select(
