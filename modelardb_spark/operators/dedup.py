@@ -199,34 +199,155 @@ def minhash_lsh_pairs(
     return out
 
 
+def _expand_ranges(starts, lens):
+    """Vectorized concatenation of integer ranges: the flat array
+    [starts[0]..starts[0]+lens[0]-1, starts[1].., ...]."""
+    import numpy as np
+
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    nz = lens > 0  # zero-length ranges would collide in the scatter
+    if not nz.all():
+        starts, lens = starts[nz], lens[nz]
+    n = int(lens.sum())
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(n, dtype=np.int64)
+    firsts = np.cumsum(lens) - lens
+    out[firsts[0]] = starts[0]
+    if starts.size > 1:
+        out[firsts[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Brute-force pairwise Jaccard over shingle sets (the exact
-    baseline the LSH path approximates; quadratic — small inputs or
-    verification only). Round 7: shingle rows come pre-deduped from the
-    map-only `shingle_arrays` (no global DISTINCT exchange) and the
-    per-doc set sizes are an array length instead of a second
-    aggregation over the exploded rows."""
-    arr = shingle_arrays(docs)
-    sh = arr.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = arr.select("doc_id", F.size("sh").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
+    baseline the LSH path approximates; quadratic compute BY
+    DEFINITION — small inputs or verification only, like
+    `embedding_near_dup_bruteforce`).
+
+    Round-7 physical shape: the O(sum over shingles of m^2) pair
+    stream never enters a shuffle. The round-6 plan generated every
+    co-shingle pair as a JOIN output row and hash-aggregated it
+    (measured 114M distinct pair rows through the exchange at the 50k-
+    doc fixture — the whole cost of the query). Now the inverted
+    shingle -> doc-list index (the same O(shingle incidences) data
+    every formulation scans) is built once and broadcast, each
+    doc-block task counts its pairs with one vectorized np.unique over
+    dense pair keys (guide §4.2 native batch code), and only
+    near-threshold survivors — with their exact integer intersection
+    counts — re-enter Spark, where the SAME round-6 jaccard expression
+    and threshold re-apply exactly (a 2e-6 prefilter margin provably
+    covers any numpy-vs-BigDecimal rounding divergence, so the output
+    is bit-identical to the join formulation). Driver memory is
+    O(shingle incidences) — the documented small-data posture of this
+    baseline; the scale path is `minhash_lsh_pairs`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = docs.sparkSession
+    # ONE evaluation of the shingle pipeline: Arrow-transfer the per-doc
+    # arrays (map-only lineage, no shuffle) and build the inverted
+    # index driver-side with factorize (a row-by-row .collect() of the
+    # grouped lists measured 40 s at the 50k-doc fixture; this is ~3 s)
+    pdf_all = shingle_arrays(docs).toPandas()
+    doc_ids = pdf_all["doc_id"].to_numpy().astype(np.int64)
+    sh_lens = np.array([len(x) for x in pdf_all["sh"]], dtype=np.int64)
+    all_sh = (
+        np.concatenate([np.asarray(x, dtype=object) for x in pdf_all["sh"]])
+        if len(pdf_all)
+        else np.empty(0, dtype=object)
     )
+    codes, _ = pd.factorize(all_sh)  # dense shingle ids, exact strings
+    codes = codes.astype(np.int64)
+    doc_rep = np.repeat(doc_ids, sh_lens)
+    # CSR by shingle id: flat doc array + offsets
+    s_order = np.argsort(codes, kind="stable")
+    flat = doc_rep[s_order]
+    s_lens = np.bincount(codes, minlength=int(codes.max()) + 1 if codes.size else 0)
+    offs = np.zeros(s_lens.size + 1, dtype=np.int64)
+    np.cumsum(s_lens, out=offs[1:])
+    # CSR by doc id (sorted): each doc's shingle ids
+    d_order = np.argsort(doc_rep, kind="stable")
+    srow_sorted = codes[d_order]
+    doc_sorted = doc_rep[d_order]
+    udocs, dstart = (
+        np.unique(doc_sorted, return_index=True)
+        if doc_sorted.size
+        else (np.empty(0, np.int64), np.empty(0, np.int64))
+    )
+    dcounts = np.diff(np.append(dstart, doc_sorted.size))
+    n_docs = int(udocs.size)
+    bq = spark.sparkContext.broadcast(
+        (flat, offs, srow_sorted, udocs, dstart, dcounts)
+    )
+    margin = threshold - 2e-6
+    schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("n_inter", LongType(), False),
+            StructField("na", LongType(), False),
+            StructField("nb", LongType(), False),
+        ]
+    )
+
+    def count_pairs(batches):
+        flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b = bq.value
+        for pdf in batches:
+            a_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            if a_ids.size == 0 or udocs_b.size == 0:
+                continue
+            pos = np.searchsorted(udocs_b, a_ids)
+            ok = (pos < udocs_b.size) & (udocs_b[np.minimum(pos, udocs_b.size - 1)] == a_ids)
+            a_ids, pos = a_ids[ok], pos[ok]
+            if a_ids.size == 0:
+                continue
+            ca = dcounts_b[pos]
+            # all (a, shingle-row) incidences of the batch ...
+            srows = srow_b[_expand_ranges(dstart_b[pos], ca)]
+            owner = np.repeat(np.arange(a_ids.size, dtype=np.int64), ca)
+            # ... expanded to every co-occurring doc b
+            ll = offs_b[srows + 1] - offs_b[srows]
+            b = flat_b[_expand_ranges(offs_b[srows], ll)]
+            owner2 = np.repeat(owner, ll)
+            bidx = np.searchsorted(udocs_b, b)
+            uk, cnt = np.unique(owner2 * n_docs + bidx, return_counts=True)
+            doc_a = a_ids[uk // n_docs]
+            doc_b = udocs_b[uk % n_docs]
+            keep = doc_a < doc_b
+            doc_a, doc_b, cnt = doc_a[keep], doc_b[keep], cnt[keep]
+            na = dcounts_b[np.searchsorted(udocs_b, doc_a)]
+            nb = dcounts_b[np.searchsorted(udocs_b, doc_b)]
+            jac = cnt / (na + nb - cnt)
+            near = jac >= margin
+            yield pd.DataFrame(
+                {
+                    "doc_a": doc_a[near],
+                    "doc_b": doc_b[near],
+                    "n_inter": cnt[near],
+                    "na": na[near],
+                    "nb": nb[near],
+                }
+            )
+
+    # the map input only fans out doc ids — non-shingleable docs are
+    # dropped by the membership guard, so the raw scan suffices and the
+    # shingle pipeline is never re-evaluated
+    prelim = fan_out(docs.select("doc_id"), "doc_id").mapInPandas(
+        count_pairs, schema
+    )
+    # the exact round-6 jaccard + threshold re-apply on the survivors:
+    # na/nb are the same distinct-shingle counts F.size produced before,
+    # so the output is bit-identical to the join formulation
     return (
-        inter.join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
-        .select(
+        prelim.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter")
-                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")),
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
         )
