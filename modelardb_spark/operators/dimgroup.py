@@ -75,18 +75,47 @@ def dim_group_members(
     return m.join(gsz, "gkey").select("gkey", "conv_id", "metric", "midx", "gsize")
 
 
+def _expand_ranges(starts, lens):
+    """Vectorized concatenation of integer ranges (see dedup)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    nz = lens > 0
+    if not nz.all():
+        starts, lens = starts[nz], lens[nz]
+    n = int(lens.sum())
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(n, dtype=np.int64)
+    firsts = np.cumsum(lens) - lens
+    out[firsts[0]] = starts[0]
+    if starts.size > 1:
+        out[firsts[1:]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
 def _fit_dim_group_batches(
     error_bound: float, length_bound: int, interval_ms: int
 ):
     """mapInPandas kernel over rows sorted by (gkey, salt, bin_ms,
     midx): split into runs of a stable active-member set, reshape each
     run's rows into the (T, K) interleaved matrix, and hand it to the
-    shared group cascade."""
+    shared group cascade.
 
-    def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+    Round 7: run detection is fully vectorized (a uint64 member
+    bitmask per bin replaces the per-bin Python comparison loop), and
+    single-timestamp runs — the dominant shape on sparse-activity
+    series — emit in bulk per member-count class with the lockstep
+    Gorilla row encoder (`gorilla_compress_rows`), exactly like the
+    conversation-group fast path; the reference fold always selects
+    Gorilla for a 1-ts run (Swing's NaN ratio hands the fold on), so
+    the bulk rows are byte-identical to the per-run cascade."""
+    from modelardb_spark.models.cascade import MTID_GORILLA as _MTID_G
+    from modelardb_spark.models.gorilla import gorilla_compress_rows
+
+    def process(pdf: pd.DataFrame, out: dict[str, list]) -> list[pd.DataFrame]:
         n = len(pdf)
         if n == 0:
-            return
+            return []
         gkey = pdf["gkey"].to_numpy()
         salt = pdf["salt"].to_numpy()
         ts = pdf["bin_ms"].to_numpy().astype(np.int64)
@@ -103,27 +132,94 @@ def _fit_dim_group_batches(
         bstart = np.flatnonzero(newbin)
         bend = np.concatenate((bstart[1:], [n]))
         n_bins = bstart.size
-
-        run_first = 0  # first bin index of the open run
-        for i in range(1, n_bins + 1):
-            if i < n_bins:
-                s_prev, e_prev = bstart[i - 1], bend[i - 1]
-                s, e = bstart[i], bend[i]
-                same = (
-                    gkey[s] == gkey[s_prev]
-                    and salt[s] == salt[s_prev]
-                    and ts[s] - ts[s_prev] <= interval_ms
-                    and (e - s) == (e_prev - s_prev)
-                    and bool(np.array_equal(midx[s:e], midx[s_prev:e_prev]))
+        bin_k = bend - bstart
+        b_gkey = gkey[bstart]
+        b_salt = salt[bstart]
+        b_ts = ts[bstart]
+        vector_ok = int(midx.max(initial=0)) < 64
+        if vector_ok:
+            # distinct member indexes per bin -> the power sum IS the
+            # set bitmask, so mask equality == same active-member set
+            b_mask = np.bitwise_or.reduceat(
+                np.uint64(1) << midx.astype(np.uint64), bstart
+            )
+        else:  # arbitrarily large member indexes: no compact mask
+            b_mask = np.zeros(n_bins, dtype=np.uint64)
+        brk = np.ones(n_bins, dtype=bool)
+        if n_bins > 1:
+            brk[1:] = (
+                (b_gkey[1:] != b_gkey[:-1])
+                | (b_salt[1:] != b_salt[:-1])
+                | ((b_ts[1:] - b_ts[:-1]) > interval_ms)
+                | (bin_k[1:] != bin_k[:-1])
+                | (b_mask[1:] != b_mask[:-1])
+            )
+            if not vector_ok:
+                for i in range(1, n_bins):
+                    if not brk[i] and not np.array_equal(
+                        midx[bstart[i] : bend[i]],
+                        midx[bstart[i - 1] : bend[i - 1]],
+                    ):
+                        brk[i] = True
+        rb = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(rb, n_bins))
+        singles = run_lens == 1
+        bulk_frames: list[pd.DataFrame] = []
+        if vector_ok and singles.any():
+            sbin = rb[singles]  # bin index of each single-bin run
+            gap_cache: dict[tuple[int, int], list[int]] = {}
+            for k in np.unique(bin_k[sbin]):
+                sel = sbin[bin_k[sbin] == k]
+                k = int(k)
+                m = sel.size
+                ridx = _expand_ranges(bstart[sel], np.full(m, k))
+                vm = val[ridx].reshape(m, k)
+                tids_m = midx[ridx].reshape(m, k).tolist()
+                gs = gsize[bstart[sel]]
+                gaps_col = []
+                for row_t, g in zip(tids_m, gs.tolist()):
+                    key = (g, tuple(row_t))
+                    gp = gap_cache.get(key)
+                    if gp is None:
+                        present = set(row_t)
+                        gp = [t for t in range(g) if t not in present]
+                        gap_cache[key] = gp
+                    gaps_col.append(gp)
+                vlist = vm.tolist()
+                bulk_frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": b_gkey[sel],
+                            "start_ms": b_ts[sel],
+                            "end_ms": b_ts[sel],
+                            "interval_ms": np.full(m, interval_ms, dtype=np.int64),
+                            "mtid": np.full(m, _MTID_G, dtype=np.int32),
+                            "model": gorilla_compress_rows(vm),
+                            "n": np.full(m, k, dtype=np.int64),
+                            "group_size": np.full(m, k, dtype=np.int32),
+                            "tids": tids_m,
+                            "gaps": gaps_col,
+                            "seg_cnt": [[1] * k] * m,
+                            "seg_min": vlist,
+                            "seg_max": vlist,
+                            "seg_sum": vm.astype(np.float64).tolist(),
+                            "p0": np.full(m, np.nan),
+                            "p1": np.full(m, np.nan),
+                        },
+                        columns=_GCOLS,
+                    )
                 )
-                if same:
-                    continue
-            # flush run [run_first, i)
-            r0, r1 = bstart[run_first], bend[i - 1]
-            k = int(bend[run_first] - bstart[run_first])
-            t_run = ts[bstart[run_first:i]]
+            loop_runs = np.flatnonzero(~singles)
+        else:
+            loop_runs = np.arange(run_lens.size)
+        run_ends = np.append(rb, n_bins)[1:]
+        for r in loop_runs:
+            first_bin, last_bin = rb[r], run_ends[r] - 1
+            r0, r1 = bstart[first_bin], bend[last_bin]
+            k = int(bin_k[first_bin])
+            t_run = b_ts[first_bin : last_bin + 1]
             vals2d = val[r0:r1].reshape(-1, k)
-            tids = [int(x) for x in midx[bstart[run_first] : bend[run_first]]]
+            tids = [int(x) for x in midx[bstart[first_bin] : bend[first_bin]]]
             _fit_group_run(
                 gkey[r0],
                 t_run,
@@ -135,7 +231,7 @@ def _fit_dim_group_batches(
                 interval_ms,
                 out,
             )
-            run_first = i
+        return bulk_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {c: [] for c in _GCOLS}
@@ -155,14 +251,16 @@ def _fit_dim_group_batches(
                 continue
             cut = boundaries[-1]
             carry = pdf.iloc[cut:]
-            process(pdf.iloc[:cut], out)
+            bulk = process(pdf.iloc[:cut], out)
             if out["n"]:
                 yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
                 out = {c: [] for c in _GCOLS}
+            yield from bulk
         if carry is not None and len(carry):
-            process(carry, out)
-        if out["n"]:
-            yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+            bulk = process(carry, out)
+            if out["n"]:
+                yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+            yield from bulk
 
     return run
 

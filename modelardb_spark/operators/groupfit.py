@@ -67,7 +67,11 @@ from modelardb_spark.config import DEFAULT_CONFIG, EngineConfig
 from modelardb_spark.models import MTID_PMC, MTID_RAW, MTID_SWING
 from modelardb_spark.models.cascade import MTID_GORILLA, _ratio
 from modelardb_spark.models.errors import outside_bound_vec
-from modelardb_spark.models.gorilla import gorilla_compress, gorilla_decompress
+from modelardb_spark.models.gorilla import (
+    gorilla_compress,
+    gorilla_compress_rows,
+    gorilla_decompress,
+)
 from modelardb_spark.models.pmc_mean import pmc_model, pmc_prefix, pmc_value
 from modelardb_spark.models.swing import swing_minmax, swing_model, swing_sum
 from modelardb_spark.models.uncompressed import raw_decode, raw_model
@@ -460,7 +464,11 @@ def _fit_group_batches(
     interval_ms: int,
     split_fraction: float | None = None,
 ):
-    def process(pdf: pd.DataFrame, out: dict[str, list]) -> None:
+    from modelardb_spark.models.cascade import MTID_GORILLA as _MTID_G
+
+    n_metrics = len(metrics)
+
+    def process(pdf: pd.DataFrame, out: dict[str, list]) -> pd.DataFrame | None:
         conv = pdf["conv_id"].to_numpy()
         salt = pdf["salt"].to_numpy()
         ts = pdf["bin_ms"].to_numpy().astype(np.int64)
@@ -470,7 +478,7 @@ def _fit_group_batches(
         active = ~np.isnan(vals)  # (rows, M)
         n = len(pdf)
         if n == 0:
-            return
+            return None
         brk = np.zeros(n, dtype=bool)
         if n > 1:
             brk[1:] = (
@@ -481,8 +489,55 @@ def _fit_group_batches(
             )
         bounds = np.concatenate(([0], np.flatnonzero(brk), [n]))
         bounds = np.unique(bounds)
-        all_tids = list(range(len(metrics)))
-        for s, e in zip(bounds[:-1], bounds[1:]):
+        all_tids = list(range(n_metrics))
+
+        # --- bulk fast path: single-timestamp runs with every metric
+        # active (the dominant case on sparse-activity series: measured
+        # 996k of 998k runs at the 1M-turn fixture). The reference fold
+        # for a 1-ts run always selects Gorilla over the interleaved
+        # row (Swing needs 2 timestamps -> NaN ratio; the NaN-fold
+        # quirk then hands the window to Gorilla, exactly like the
+        # per-series singles case in operators/fit.py), so the segment
+        # is closed-form and every column vectorizes. 1-ts runs cannot
+        # trigger the dynamic split (pos == n_ts), and the ratio list
+        # is per-run state, so the bulk path is valid for the dynamic
+        # cascade too.
+        lens = np.diff(bounds)
+        starts = bounds[:-1]
+        is_bulk = np.zeros(lens.size, dtype=bool)
+        bulk_frame = None
+        if n_metrics == 2:
+            is_bulk = (lens == 1) & active[starts].all(axis=1)
+            bidx = starts[is_bulk]
+            if bidx.size:
+                v2 = vals[bidx]  # (M, 2) float32
+                vlist = v2.tolist()  # python floats, exact f32 values
+                m = bidx.size
+                svals = v2.astype(np.float64)
+                bulk_frame = pd.DataFrame(
+                    {
+                        "conv_id": conv[bidx],
+                        "start_ms": ts[bidx],
+                        "end_ms": ts[bidx],
+                        "interval_ms": np.full(m, interval_ms, dtype=np.int64),
+                        "mtid": np.full(m, _MTID_G, dtype=np.int32),
+                        "model": gorilla_compress_rows(v2),
+                        "n": np.full(m, 2, dtype=np.int64),
+                        "group_size": np.full(m, 2, dtype=np.int32),
+                        "tids": [[0, 1]] * m,
+                        "gaps": [[]] * m,
+                        "seg_cnt": [[1, 1]] * m,
+                        "seg_min": vlist,
+                        "seg_max": vlist,
+                        "seg_sum": svals.tolist(),
+                        "p0": np.full(m, np.nan),
+                        "p1": np.full(m, np.nan),
+                    },
+                    columns=_GCOLS,
+                )
+
+        for ridx in np.flatnonzero(~is_bulk):
+            s, e = bounds[ridx], bounds[ridx + 1]
             tids = [int(j) for j in np.flatnonzero(active[s])]
             if not tids:
                 continue
@@ -501,6 +556,7 @@ def _fit_group_batches(
                 _fit_group_run(*args)
             else:
                 _fit_group_run_dynamic(*args, split_fraction)
+        return bulk_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {c: [] for c in _GCOLS}
@@ -520,14 +576,19 @@ def _fit_group_batches(
                 continue
             cut = boundaries[-1]
             carry = pdf.iloc[cut:]
-            process(pdf.iloc[:cut], out)
+            bulk = process(pdf.iloc[:cut], out)
             if out["n"]:
                 yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
                 out = {c: [] for c in _GCOLS}
+            if bulk is not None:
+                yield bulk
         if carry is not None and len(carry):
-            process(carry, out)
-        if out["n"]:
-            yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+            bulk = process(carry, out)
+            if out["n"]:
+                yield pd.DataFrame({c: out[c] for c in _GCOLS}, columns=_GCOLS)
+                out = {c: [] for c in _GCOLS}
+            if bulk is not None:
+                yield bulk
 
     return run
 

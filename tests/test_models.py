@@ -333,3 +333,38 @@ def test_gorilla_batch_decode_bit_identical():
     batch = gorilla_decompress_batch(models, np.array(lens))
     for a, b in zip(scalar, batch):
         np.testing.assert_array_equal(a, b)
+
+
+def test_gorilla_compress_rows_wire_identical():
+    """The lockstep row encoder (round-7 single-timestamp group fast
+    path) must be byte-identical to the scalar encoder for every row,
+    across widths, repeats, zeros (incl. signed), denormals and
+    extremes."""
+    import numpy as np
+
+    from modelardb_spark.models.gorilla import (
+        gorilla_compress,
+        gorilla_compress_rows,
+    )
+
+    rng = np.random.default_rng(123)
+    for k in range(1, 9):
+        vals = rng.standard_normal((500, k)).astype(np.float32)
+        if k > 1:
+            vals[::5, 1] = vals[::5, 0]  # repeat -> '0' control bit
+            vals[::9] = np.round(vals[::9] * 10)  # integer-valued
+        vals[::11] = 0.0
+        vals[::13] = -vals[::13]
+        for i, model in enumerate(gorilla_compress_rows(vals)):
+            assert model == gorilla_compress(vals[i]), (k, i, vals[i])
+    extremes = np.array(
+        [
+            [1e-40, -1e-40],  # denormals
+            [3.4e38, -3.4e38],
+            [1.0, 1.0000001],  # 1-ulp xor
+            [0.0, -0.0],  # signed-zero xor
+        ],
+        dtype=np.float32,
+    )
+    for i, model in enumerate(gorilla_compress_rows(extremes)):
+        assert model == gorilla_compress(extremes[i])
