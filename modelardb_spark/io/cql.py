@@ -318,6 +318,20 @@ class CqlCatalog(TableCatalog):
                     age_ns = TRASH_GRACE_NS + 1  # unparseable = ancient
                 if age_ns > TRASH_GRACE_NS:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        # also reclaim staging dirs a previous writer left at the
+        # catalog ROOT by crashing before its swap — same grace rule
+        # (the name embeds time_ns); without this a pre-swap crash
+        # leaks a full data-sized directory forever
+        root = self.path("")
+        prefix = f".staging-{name}-"
+        for d in os.listdir(root):
+            if d.startswith(prefix):
+                try:
+                    age_ns = now_ns - int(d.rsplit("-", 1)[-1])
+                except ValueError:
+                    age_ns = TRASH_GRACE_NS + 1
+                if age_ns > TRASH_GRACE_NS:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         trash = os.path.join(base, f".trash-{os.getpid()}-{time.time_ns()}")
         os.makedirs(trash)
         try:

@@ -254,7 +254,10 @@ class JdbcCatalog:
                 _os.kill(pid, 0)  # raises if the owner is gone
             except (ValueError, IndexError):
                 pass  # unparseable name: leave it for a human
-            except OSError:
+            except PermissionError:
+                pass  # EPERM: the pid EXISTS under another uid — a
+                #       live writer on a multi-user host; leave it
+            except ProcessLookupError:
                 try:
                     self._execute(f'DROP TABLE "{tname}"')
                 except Exception:

@@ -497,6 +497,11 @@ class SnapshotCatalog:
         now = time.time()
         cur = self.current_version(name)
         keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        # an earlier expiry with a smaller keep_last may have removed
+        # some of these v-files already — the live-set scan below must
+        # only open versions that actually exist, or the maintenance
+        # job crashes with FileNotFoundError
+        keep = {v for v in keep if os.path.exists(self._vfile(name, v))}
         removed_manifests = 0
         for v in range(1, cur + 1):
             if v not in keep and os.path.exists(self._vfile(name, v)):

@@ -148,7 +148,11 @@ def curate(
         "quality_dropped": 0 if n_raw is None else n_raw - n_in,
         "contaminated_dropped": n_in - n_clean,
         "duplicates_dropped": n_clean - n_kept,
-        "clusters": curated.select("cluster_rep").distinct().count(),
+        # distinct reps on the PRE-sampling frame: the number of
+        # duplicate clusters among surviving docs (counting on
+        # `curated` — one row per sampled member — was tautologically
+        # equal to `kept`)
+        "clusters": clusters.select("cluster_rep").distinct().count(),
         "kept": n_kept,
         "sequences": n_seq,
         "fill_ratio": round(fill, 4),

@@ -95,10 +95,14 @@ def pack_sequences(
             out_bin[i] = b
         return pdf.assign(seq_bin=out_bin, truncated=out_trunc)
 
+    # the id column's type follows the input corpus (string/UUID doc
+    # ids are common); hard-coding `long` here broke any non-integer
+    # corpus at the Arrow conversion
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     packed = counted.groupBy("part").applyInPandas(
         _pack,
         schema=(
-            f"{doc_col} long, n_tokens long, part int, "
+            f"{doc_col} {id_type}, n_tokens long, part int, "
             "seq_bin long, truncated boolean"
         ),
     )

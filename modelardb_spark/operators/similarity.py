@@ -48,10 +48,16 @@ def with_norm(emb: DataFrame) -> DataFrame:
 
 def _query_matrix(queries: DataFrame):
     """Collect the (small) query side to a normalized NumPy matrix —
-    the broadcast dimension of the block nested-loop join."""
-    rows = queries.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    the broadcast dimension of the block nested-loop join. Arrow
+    transfer (toPandas) instead of row-by-row collect: the brute-force
+    baseline pulls the whole corpus through here."""
+    pdf = queries.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy().astype(np.int64)
+    m = (
+        np.array(list(pdf["embedding"]), dtype=np.float64)
+        if len(pdf)
+        else np.empty((0, 0), dtype=np.float64)
+    )
     norms = np.sqrt((m * m).sum(axis=1))
     return ids, m, norms
 
@@ -376,33 +382,85 @@ def embedding_near_dup(
     )
     margin = threshold - 1e-4
 
-    def prefilter(pdf):
+    def _cell_pairs(pdf):
+        """All surviving pairs of ONE (tbl, bucket, gi, gj) cell."""
         import pandas as pd
 
-        empty = pd.DataFrame({"vec_a": [], "vec_b": []}).astype(np.int64)
-        lrows = pdf[pdf["is_l"].to_numpy()]
-        rrows = pdf[pdf["is_r"].to_numpy()]
-        if lrows.empty or rrows.empty:
-            return empty
-        lid = lrows["vec_id"].to_numpy().astype(np.int64)
-        rid = rrows["vec_id"].to_numpy().astype(np.int64)
-        lm = np.array(list(lrows["embedding"]), dtype=np.float64)
-        rm = np.array(list(rrows["embedding"]), dtype=np.float64)
-        ln = np.sqrt((lm * lm).sum(axis=1))
-        rn = np.sqrt((rm * rm).sum(axis=1))
-        sims = (lm @ rm.T) / np.outer(ln, rn)
+        lmask = pdf["is_l"].to_numpy()
+        rmask = pdf["is_r"].to_numpy()
+        if not lmask.any() or not rmask.any():
+            return None
+        vid = pdf["vec_id"].to_numpy().astype(np.int64)
+        emb_col = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((emb_col * emb_col).sum(axis=1))
+        lid, rid = vid[lmask], vid[rmask]
+        sims = (emb_col[lmask] @ emb_col[rmask].T) / np.outer(
+            norms[lmask], norms[rmask]
+        )
         mask = (sims >= margin) & (lid[:, None] != rid[None, :])
         ai, bi = np.nonzero(mask)
+        if ai.size == 0:
+            return None
         a, b = lid[ai], rid[bi]
         return pd.DataFrame(
             {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b)}
         )
 
-    pairs = (
-        fanned.groupBy("tbl", "bucket", "gi", "gj")
-        .applyInPandas(lambda key, pdf: prefilter(pdf), pair_schema)
-        .distinct()
-    )
+    def prefilter_cells(batches):
+        """mapInPandas over rows sorted by cell key: per-cell blocks
+        split vectorized inside the task (a groupBy().applyInPandas
+        here paid ~1 ms of pandas overhead per cell — 2k+ cells at the
+        default LSH parameters made SMALL corpora slower than the
+        round-6 plan); an incomplete trailing cell carries into the
+        next Arrow batch."""
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            t = pdf["tbl"].to_numpy()
+            bkt = pdf["bucket"].to_numpy()
+            gi = pdf["gi"].to_numpy()
+            gj = pdf["gj"].to_numpy()
+            change = np.zeros(n, dtype=bool)
+            if n > 1:
+                change[1:] = (
+                    (t[1:] != t[:-1])
+                    | (bkt[1:] != bkt[:-1])
+                    | (gi[1:] != gi[:-1])
+                    | (gj[1:] != gj[:-1])
+                )
+            bounds = np.flatnonzero(change)
+            if bounds.size == 0:
+                carry = pdf
+                continue
+            cut = bounds[-1]
+            carry = pdf.iloc[cut:]
+            head = pdf.iloc[:cut]
+            starts = np.concatenate(([0], bounds[bounds < cut]))
+            ends = np.concatenate((starts[1:], [cut]))
+            outs = []
+            for s, e in zip(starts, ends):
+                res = _cell_pairs(head.iloc[s:e])
+                if res is not None:
+                    outs.append(res)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            res = _cell_pairs(carry)
+            if res is not None:
+                yield res
+
+    n_tasks = emb.sparkSession.sparkContext.defaultParallelism
+    arranged = fanned.repartition(
+        n_tasks, F.pmod(F.xxhash64("tbl", "bucket", "gi", "gj"), F.lit(n_tasks))
+    ).sortWithinPartitions("tbl", "bucket", "gi", "gj")
+    pairs = arranged.mapInPandas(prefilter_cells, pair_schema).distinct()
     base = with_norm(emb)
     a = base.select(
         F.col("vec_id").alias("vec_a"),

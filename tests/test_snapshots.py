@@ -442,3 +442,19 @@ def test_expire_removes_emptied_dirs_same_sweep_with_grace(spark, tmp_path):
     ]
     assert leftovers == [], leftovers
     assert _rows(cat.read(spark, "t")) == [("a", 1, 9)]
+
+
+def test_expire_survives_earlier_tighter_expiry(tmp_path, spark):
+    """A second expiry whose keep-window overlaps versions an EARLIER
+    expiry already deleted must skip the missing v-files instead of
+    crashing the maintenance job with FileNotFoundError (ADVICE r6)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    for _ in range(4):
+        cat.overwrite(_df(spark, [("a", 1, 10), ("b", 2, 20)]), "t", ["part"])
+    cat.expire_snapshots("t", keep_last=1, older_than_s=0)  # v1..v3 gone
+    cat.overwrite(_df(spark, [("c", 3, 30)]), "t", ["part"])
+    # keep_last=3's window includes versions the first expiry already
+    # deleted: must skip them, not raise FileNotFoundError
+    res = cat.expire_snapshots("t", keep_last=3, older_than_s=0)
+    assert isinstance(res, dict)
+    assert _rows(cat.read(spark, "t")) == [("c", 3, 30)]

@@ -925,3 +925,25 @@ def test_minhash_pairs_identical_across_persist_plans(spark):
     )
     assert lazy == eager and len(lazy) > 0
     docs.unpersist()
+
+
+def test_pack_sequences_string_doc_ids(spark):
+    """The packer's output schema must follow the corpus id type —
+    string/UUID doc ids are a common corpus shape (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    from modelardb_spark.operators.packing import pack_sequences
+    from modelardb_spark.operators.textstats import synthetic_documents
+
+    docs = synthetic_documents(spark, 200, words_per_doc=10).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text", "lang"
+    )
+    out = pack_sequences(docs, budget=64, parts=2)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(isinstance(r["doc_id"], str) for r in rows[:5])
+    per_seq = {}
+    for r in rows:
+        per_seq.setdefault(r["seq_id"], 0)
+        per_seq[r["seq_id"]] += min(r["n_tokens"], 64)
+    assert all(v <= 64 for v in per_seq.values())
