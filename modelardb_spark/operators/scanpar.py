@@ -21,11 +21,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: fan-out granularity: one task per this many input bytes (compressed)
+#: when the source is a file scan. Small enough that the CPU-heavy map
+#: work this module exists for (md5 minhashing, BLAS matmuls, container
+#: codecs) parallelizes fully at the fixture scales, large enough that a
+#: tiny correctness-gate input does not explode into empty tasks.
+_BYTES_PER_TASK = 128 * 1024
+
 
 def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition `df` up to the session's default parallelism when the
     underlying scan produced fewer partitions. `key` picks hash
-    partitioning on that column; None falls back to round-robin."""
+    partitioning on that column; None falls back to round-robin.
+
+    The target is size-adaptive: for file sources, at most one task per
+    `_BYTES_PER_TASK` of input, capped at defaultParallelism — so a
+    tiny input (the sf0.01 correctness gate) keeps its single partition
+    and pays NO extra exchange, while anything big enough to matter
+    fans out fully; at production scale the scan already has more
+    partitions than the cap and the whole function is a no-op."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
@@ -34,4 +48,16 @@ def fan_out(df: DataFrame, key: str | None = None) -> DataFrame:
         return df
     if n >= par:
         return df
-    return df.repartition(par, key) if key else df.repartition(par)
+    target = par
+    try:
+        files = df.inputFiles()
+        if files:
+            import os
+
+            total = sum(os.path.getsize(f.replace("file:", "")) for f in files)
+            target = max(1, min(par, -(-total // _BYTES_PER_TASK)))
+    except Exception:
+        pass  # non-file source / remote FS: keep the full fan-out
+    if n >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
