@@ -30,6 +30,10 @@ BANDS = 4
 ROWS_PER_BAND = 4
 SHINGLE_WORDS = 3
 
+#: task-side memory budget for the ngram pair expansion (elements per
+#: inner chunk); module-level so tests can force the multi-chunk path
+NGRAM_MAX_EXPAND = 8_000_000
+
 
 def normalized(docs: DataFrame) -> DataFrame:
     # fan the (often single-split) documents scan out to the session's
@@ -279,8 +283,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     dcounts = np.diff(np.append(dstart, doc_sorted.size))
     n_docs = int(udocs.size)
+    # prefix sum of each incidence's doc-list length (doc order): the
+    # expansion cost of any doc range is one subtraction — used by the
+    # task-side memory-budget chunking
+    ll_prefix = np.zeros(srow_sorted.size + 1, dtype=np.int64)
+    if srow_sorted.size:
+        np.cumsum(offs[srow_sorted + 1] - offs[srow_sorted], out=ll_prefix[1:])
     bq = spark.sparkContext.broadcast(
-        (flat, offs, srow_sorted, udocs, dstart, dcounts)
+        (flat, offs, srow_sorted, udocs, dstart, dcounts, ll_prefix)
     )
     margin = threshold - 2e-6
     schema = StructType(
@@ -294,16 +304,50 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
     def count_pairs(batches):
-        flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b = bq.value
+        flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b, llp_b = bq.value
+        # bound the per-iteration pair expansion (sum over the chunk's
+        # shingles of their doc-list lengths) so task memory stays flat
+        # no matter how large the Arrow batch or the corpus gets
+        max_expand = NGRAM_MAX_EXPAND
         for pdf in batches:
-            a_ids = pdf["doc_id"].to_numpy().astype(np.int64)
-            if a_ids.size == 0 or udocs_b.size == 0:
+            all_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+            if all_ids.size == 0 or udocs_b.size == 0:
                 continue
-            pos = np.searchsorted(udocs_b, a_ids)
-            ok = (pos < udocs_b.size) & (udocs_b[np.minimum(pos, udocs_b.size - 1)] == a_ids)
-            a_ids, pos = a_ids[ok], pos[ok]
-            if a_ids.size == 0:
+            apos = np.searchsorted(udocs_b, all_ids)
+            ok = (apos < udocs_b.size) & (
+                udocs_b[np.minimum(apos, udocs_b.size - 1)] == all_ids
+            )
+            all_ids, apos = all_ids[ok], apos[ok]
+            if all_ids.size == 0:
                 continue
+            # per-doc expansion cost (one subtraction off the prefix
+            # sum), then greedy fixed-budget chunk boundaries
+            start_i = dstart_b[apos]
+            exp_cost = llp_b[start_i + dcounts_b[apos]] - llp_b[start_i]
+            csum = np.cumsum(exp_cost)
+            cuts = [0]
+            base = 0
+            while cuts[-1] < all_ids.size:
+                nxt = int(
+                    np.searchsorted(csum, base + max_expand, side="left") + 1
+                )
+                nxt = max(nxt, cuts[-1] + 1)
+                cuts.append(min(nxt, all_ids.size))
+                base = csum[cuts[-1] - 1]
+            yield from _count_chunks(
+                all_ids, apos, cuts,
+                flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b,
+            )
+
+    def _count_chunks(
+        all_ids, apos, cuts, flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b
+    ):
+        import pandas as pd
+
+        for c0, c1 in zip(cuts[:-1], cuts[1:]):
+            if c0 == c1:
+                continue
+            a_ids, pos = all_ids[c0:c1], apos[c0:c1]
             ca = dcounts_b[pos]
             # all (a, shingle-row) incidences of the batch ...
             srows = srow_b[_expand_ranges(dstart_b[pos], ca)]

@@ -154,28 +154,38 @@ def embedding_near_dup_bruteforce(emb: DataFrame, threshold: float = 0.95) -> Da
         import pandas as pd
 
         ids_all, m_all, n_all = bq.value
+        # bound the similarity matrix to ~chunk x n doubles regardless
+        # of Arrow batch size (a full 65k-row batch against a large
+        # corpus would allocate GBs per task)
+        chunk = max(1, (32 << 20) // max(8 * ids_all.size, 1))
         for pdf in batches:
-            aid = pdf["vec_id"].to_numpy().astype(np.int64)
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bnorm = np.sqrt((block * block).sum(axis=1))
-            sims = (block @ m_all.T) / np.outer(bnorm, n_all)
-            # round only the rare survivors, not the whole (block x n)
-            # matrix: a 1e-4 margin below the threshold provably covers
-            # every value that could round UP to it (round-6 moves a
-            # value by at most 5e-7), then the exact round-6 compare
-            # re-applies on the gathered candidates — same result set,
-            # ~n^2 fewer np.round calls
-            mask = (sims >= threshold - 1e-4) & (aid[:, None] < ids_all[None, :])
-            ai, bi = np.nonzero(mask)
-            cos = np.round(sims[ai, bi], 6)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": aid[ai][keep],
-                    "vec_b": ids_all[bi][keep],
-                    "cosine": cos[keep],
-                }
-            )
+            aid_b = pdf["vec_id"].to_numpy().astype(np.int64)
+            block_b = np.array(list(pdf["embedding"]), dtype=np.float64)
+            for lo in range(0, aid_b.size, chunk):
+                aid = aid_b[lo : lo + chunk]
+                block = block_b[lo : lo + chunk]
+                bnorm = np.sqrt((block * block).sum(axis=1))
+                sims = (block @ m_all.T) / np.outer(bnorm, n_all)
+                # round only the rare survivors, not the whole
+                # (block x n) matrix: a 1e-4 margin below the threshold
+                # provably covers every value that could round UP to it
+                # (round-6 moves a value by at most 5e-7), then the
+                # exact round-6 compare re-applies on the gathered
+                # candidates — same result set, ~n^2 fewer np.round
+                # calls
+                mask = (sims >= threshold - 1e-4) & (
+                    aid[:, None] < ids_all[None, :]
+                )
+                ai, bi = np.nonzero(mask)
+                cos = np.round(sims[ai, bi], 6)
+                keep = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "vec_a": aid[ai][keep],
+                        "vec_b": ids_all[bi][keep],
+                        "cosine": cos[keep],
+                    }
+                )
 
     return fan_out(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(
         run, schema

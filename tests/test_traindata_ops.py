@@ -947,3 +947,22 @@ def test_pack_sequences_string_doc_ids(spark):
         per_seq.setdefault(r["seq_id"], 0)
         per_seq[r["seq_id"]] += min(r["n_tokens"], 64)
     assert all(v <= 64 for v in per_seq.values())
+
+
+def test_ngram_pairs_identical_across_chunk_budgets(spark, docs):
+    """The task-side memory-budget chunking of the ngram pair counter
+    must never change the result: force many tiny chunks and compare
+    with the single-chunk run."""
+    from modelardb_spark.operators import dedup
+
+    full = sorted(map(tuple, dedup.ngram_jaccard_pairs(docs, 0.3).collect()))
+    assert len(full) > 0
+    old = dedup.NGRAM_MAX_EXPAND
+    dedup.NGRAM_MAX_EXPAND = 50  # a few docs per chunk
+    try:
+        tiny = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(docs, 0.3).collect())
+        )
+    finally:
+        dedup.NGRAM_MAX_EXPAND = old
+    assert tiny == full
