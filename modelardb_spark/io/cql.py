@@ -116,17 +116,32 @@ def ddl_statements(keyspace: str = "modelardb") -> list[str]:
 
 
 def iter_cql_batches(
-    rows: Iterable, cap: int = MAX_BATCH_STATEMENTS
+    rows: Iterable,
+    cap: int = MAX_BATCH_STATEMENTS,
+    max_bytes: int | None = None,
+    row_bytes=None,
 ) -> Iterator[list]:
     """Chunk an iterable of rows into Cassandra-legal batches: every
     yielded list has at most `cap` rows (CassandraStorage.scala:139-146
-    flushes at exactly this bound)."""
+    flushes at exactly this bound) AND, when `max_bytes`/`row_bytes`
+    are given, at most ~max_bytes of payload — a statement-count cap
+    alone can exceed a real cluster's batch_size_fail_threshold
+    (default ~50 KB) with BLOB-carrying segment rows. A single
+    over-sized row still ships (in its own batch) so the writer never
+    deadlocks on one fat model."""
     batch: list = []
+    size = 0
     for row in rows:
-        batch.append(row)
-        if len(batch) == cap:
+        b = row_bytes(row) if row_bytes is not None and max_bytes else 0
+        if batch and (
+            len(batch) == cap
+            or (max_bytes is not None and size + b > max_bytes)
+        ):
             yield batch
             batch = []
+            size = 0
+        batch.append(row)
+        size += b
     if batch:
         yield batch
 
@@ -155,12 +170,21 @@ def _send_rows(rows: Iterable, connection_string: str) -> None:
         f"INSERT INTO {keyspace}.segment(conv_id, metric, start_ms, "
         "end_ms, interval_ms, mtid, model, n) VALUES (?,?,?,?,?,?,?,?)"
     )
+    insert.is_idempotent = True  # reference sets setIdempotent(true)
     from cassandra.query import BatchStatement, BatchType
 
-    # UNLOGGED bound-statement batches flushed at the 65535 cap — the
-    # reference's exact write shape (CassandraStorage.scala:127-146)
-    for batch in iter_cql_batches(rows):
-        bs = BatchStatement(batch_type=BatchType.UNLOGGED)
+    # LOGGED idempotent bound-statement batches flushed at the 65535
+    # statement cap — the reference's write shape
+    # (CassandraStorage.scala:127-146, :268) — AND at ~45 KB of model
+    # payload, below real Cassandra's default ~50 KB
+    # batch_size_fail_threshold (a statement-count cap alone would
+    # trip it with BLOB-carrying rows)
+    for batch in iter_cql_batches(
+        rows,
+        max_bytes=45 * 1024,
+        row_bytes=lambda r: 48 + len(r["model"]),
+    ):
+        bs = BatchStatement(batch_type=BatchType.LOGGED)
         for r in batch:
             bs.add(
                 insert,

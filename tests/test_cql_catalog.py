@@ -194,3 +194,21 @@ def test_cql_trash_sweep_spares_live_writers(spark, tmp_path):
     cat.overwrite_partitions(df, "t", ["part_day"])
     assert os.path.isdir(young)   # live concurrent writer: untouched
     assert not os.path.exists(old)  # crashed writer: reclaimed
+
+
+def test_iter_cql_batches_byte_cap():
+    """Batches must also flush at the byte budget (real Cassandra's
+    batch_size_fail_threshold), not only at the statement cap; one
+    over-budget row still ships alone."""
+    rows = [{"model": b"x" * n} for n in (10, 10, 60_000, 10, 10, 10)]
+    batches = list(
+        iter_cql_batches(
+            rows, max_bytes=200, row_bytes=lambda r: 48 + len(r["model"])
+        )
+    )
+    assert [len(b) for b in batches] == [2, 1, 3]
+    assert batches[1][0]["model"] == b"x" * 60_000
+    # byte budget respected wherever a batch has >1 row
+    for b in batches:
+        if len(b) > 1:
+            assert sum(48 + len(r["model"]) for r in b) <= 200
