@@ -75,7 +75,7 @@ from modelardb_spark.models.gorilla import (
 from modelardb_spark.models.pmc_mean import pmc_model, pmc_prefix, pmc_value
 from modelardb_spark.models.swing import swing_minmax, swing_model, swing_sum
 from modelardb_spark.models.uncompressed import raw_decode, raw_model
-from modelardb_spark.operators.rollup import ROLLUP_SCHEMA, _analytic_partials
+from modelardb_spark.operators.rollup import ROLLUP_SCHEMA
 
 GROUP_SEGMENT_SCHEMA = StructType(
     [
@@ -820,48 +820,56 @@ def rollup_from_group_segments(
 def _rollup_from_exploded(exploded: DataFrame, window_ms: int) -> DataFrame:
     """Shared rollup tail over an EXPLODED group-segment frame (per-
     conversation or dimension-driven): analytic closed forms for
-    PMC/Swing members, strided vectorized decode for the dense rest,
-    one final hash aggregation."""
-    # _analytic_partials keeps PMC AND Swing members (closed forms over
-    # p0/p1, shared with the per-series path)
-    analytic = _analytic_partials(exploded, window_ms)
+    PMC/Swing members AND the strided dense decode run in ONE
+    mapInPandas pass (round 7 — the former analytic Catalyst branch
+    re-ran the whole group fit a second time), one final hash
+    aggregation."""
+    from modelardb_spark.operators.rollup import _analytic_partial_block
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+        for full in batches:
+            if len(full) == 0:
                 continue
-            member, n_ts, start, si = _decode_member_batch(pdf)
-            idx = np.arange(member.shape[1], dtype=np.int64)
-            mask = idx[None, :] < n_ts[:, None]
-            vals = member[mask]
-            ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
-            seg_id = np.repeat(np.arange(len(pdf)), n_ts)
-            wins = (ts // window_ms) * window_ms
-            new = np.empty(vals.size, dtype=bool)
-            new[0] = True
-            new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
-            starts = np.flatnonzero(new)
-            counts = np.diff(np.concatenate((starts, [vals.size])))
-            yield pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"].to_numpy()[seg_id[starts]],
-                    "metric": pdf["metric"].to_numpy()[seg_id[starts]],
-                    "window_ms": wins[starts],
-                    "cnt": counts.astype(np.int64),
-                    "vmin": np.minimum.reduceat(vals, starts),
-                    "vmax": np.maximum.reduceat(vals, starts),
-                    "vsum": np.add.reduceat(vals.astype(np.float64), starts),
-                }
-            )
+            mt = full["mtid"].to_numpy()
+            frames = []
+            ana_m = (mt == MTID_PMC) | (mt == MTID_SWING)
+            if ana_m.any():
+                frames.append(
+                    _analytic_partial_block(full[ana_m], window_ms)
+                )
+            pdf = full[~ana_m]
+            if len(pdf):
+                member, n_ts, start, si = _decode_member_batch(pdf)
+                idx = np.arange(member.shape[1], dtype=np.int64)
+                mask = idx[None, :] < n_ts[:, None]
+                vals = member[mask]
+                ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
+                seg_id = np.repeat(np.arange(len(pdf)), n_ts)
+                wins = (ts // window_ms) * window_ms
+                new = np.empty(vals.size, dtype=bool)
+                new[0] = True
+                new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
+                starts = np.flatnonzero(new)
+                counts = np.diff(np.concatenate((starts, [vals.size])))
+                frames.append(pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"].to_numpy()[seg_id[starts]],
+                        "metric": pdf["metric"].to_numpy()[seg_id[starts]],
+                        "window_ms": wins[starts],
+                        "cnt": counts.astype(np.int64),
+                        "vmin": np.minimum.reduceat(vals, starts),
+                        "vmax": np.maximum.reduceat(vals, starts),
+                        "vsum": np.add.reduceat(vals.astype(np.float64), starts),
+                    }
+                ))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
-    dense_cols = [
+    cols = [
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
-        "mtid", "model", "goff", "gsize",
+        "mtid", "model", "goff", "gsize", "p0", "p1",
     ] + (["ukey"] if "ukey" in exploded.columns else [])
-    dense = exploded.where(~F.col("mtid").isin(MTID_PMC, MTID_SWING)).select(
-        *dense_cols
-    )
-    partials = analytic.unionByName(dense.mapInPandas(run, ROLLUP_SCHEMA))
+    partials = exploded.select(*cols).mapInPandas(run, ROLLUP_SCHEMA)
     return (
         partials.groupBy("conv_id", "metric", "window_ms")
         .agg(

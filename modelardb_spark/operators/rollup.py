@@ -124,49 +124,142 @@ def _analytic_partials(segments: DataFrame, window_ms: int) -> DataFrame:
     )
 
 
-def _dense_partials(segments: DataFrame, window_ms: int) -> DataFrame:
-    """Vectorized decode path for Gorilla/raw segments: the whole Arrow
-    batch decodes in one lockstep pass (decode_dense_matrix), then ONE
-    flatten + ONE reduceat family per batch computes every
-    (segment ∩ window) partial — no per-segment Python loop."""
+def _dense_partial_block(pdf: pd.DataFrame, window_ms: int) -> pd.DataFrame:
+    """Per-(segment ∩ window) partials for a batch of DENSE
+    (Gorilla/raw) segments: one lockstep decode + one reduceat family."""
+    n_seg = len(pdf)
+    start = pdf["start_ms"].to_numpy().astype(np.int64)
+    end = pdf["end_ms"].to_numpy().astype(np.int64)
+    si = pdf["interval_ms"].to_numpy().astype(np.int64)
+    lens = (end - start) // si + 1
+    mat = decode_dense_matrix(pdf["mtid"].to_numpy(), list(pdf["model"]), lens)
+    max_n = mat.shape[1]
+    idx = np.arange(max_n, dtype=np.int64)
+    mask = idx[None, :] < lens[:, None]
+    vals = mat[mask]
+    ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
+    seg_id = np.repeat(np.arange(n_seg), lens)
+    wins = (ts // window_ms) * window_ms
+    new = np.empty(vals.size, dtype=bool)
+    new[0] = True
+    new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
+    starts = np.flatnonzero(new)
+    conv = pdf["conv_id"].to_numpy()
+    met = pdf["metric"].to_numpy()
+    counts = np.diff(np.concatenate((starts, [vals.size])))
+    return pd.DataFrame(
+        {
+            "conv_id": conv[seg_id[starts]],
+            "metric": met[seg_id[starts]],
+            "window_ms": wins[starts],
+            "cnt": counts.astype(np.int64),
+            "vmin": np.minimum.reduceat(vals, starts),
+            "vmax": np.maximum.reduceat(vals, starts),
+            "vsum": np.add.reduceat(vals.astype(np.float64), starts),
+        }
+    )
+
+
+def _analytic_partial_block(pdf: pd.DataFrame, window_ms: int) -> pd.DataFrame:
+    """Per-(segment ∩ window) partials for a batch of ANALYTIC
+    (PMC/Swing) segments — the NumPy replication of the
+    `_analytic_partials` column expressions, operation for operation on
+    the same float64/float32 arithmetic, so the partial rows are
+    bit-identical to the Catalyst closed forms:
+
+      cnt  = long((sub_end - sub_start) / interval + 1)   [double div]
+      PMC  : vmin = vmax = float32(p0);  vsum = p0 * cnt
+      Swing: first/last = p0 * sub + p1 (float64),
+             min/max by slope sign cast to float32,
+             vsum = (first + last) / 2.0 * cnt
+    """
+    w = window_ms
+    s = pdf["start_ms"].to_numpy().astype(np.int64)
+    e = pdf["end_ms"].to_numpy().astype(np.int64)
+    iv = pdf["interval_ms"].to_numpy().astype(np.int64)
+    mt = pdf["mtid"].to_numpy()
+    p0 = pdf["p0"].to_numpy().astype(np.float64)
+    p1 = pdf["p1"].to_numpy().astype(np.float64)
+    # window explode: floor-div == Spark's floor(double-div) for these
+    # magnitudes (an integer ms >= 1 away from a window boundary can
+    # never cross it under ~1e-10 double error)
+    w0 = (s // w) * w
+    nwin = e // w - s // w + 1
+    total = int(nwin.sum())
+    seg_of = np.repeat(np.arange(len(pdf)), nwin)
+    firsts = np.cumsum(nwin) - nwin
+    k = np.arange(total, dtype=np.int64) - firsts[seg_of]
+    win = w0[seg_of] + w * k
+    ss = np.maximum(s[seg_of], win)
+    se = np.minimum(e[seg_of], win + w - iv[seg_of])
+    cnt = ((se - ss) / iv[seg_of] + 1.0).astype(np.int64)
+    pm = mt[seg_of] == MTID_PMC
+    p0g, p1g = p0[seg_of], p1[seg_of]
+    first = p0g * ss + p1g
+    last = p0g * se + p1g
+    p0f = p0g.astype(np.float32)
+    sw_min = np.where(
+        p0g == 0, p1g, np.where(p0g > 0, first, last)
+    ).astype(np.float32)
+    sw_max = np.where(
+        p0g == 0, p1g, np.where(p0g < 0, first, last)
+    ).astype(np.float32)
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].to_numpy()[seg_of],
+            "metric": pdf["metric"].to_numpy()[seg_of],
+            "window_ms": win,
+            "cnt": cnt,
+            "vmin": np.where(pm, p0f, sw_min),
+            "vmax": np.where(pm, p0f, sw_max),
+            "vsum": np.where(pm, p0g * cnt, (first + last) / 2.0 * cnt),
+        }
+    )
+
+
+def _fused_partials(segments: DataFrame, window_ms: int) -> DataFrame:
+    """ONE pass over ALL segments: dense decode partials AND the
+    PMC/Swing closed forms in the same mapInPandas kernel. The round-6
+    plan split segments into an analytic (Catalyst closed-form) branch
+    and a dense branch — each branch re-ran the whole upstream fit
+    kernel (the shuffle was shared via ReuseExchange, the post-shuffle
+    sort + fit were not), costing one extra fit per rollup query."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_seg = len(pdf)
-            if n_seg == 0:
+            if len(pdf) == 0:
                 continue
-            start = pdf["start_ms"].to_numpy().astype(np.int64)
-            end = pdf["end_ms"].to_numpy().astype(np.int64)
-            si = pdf["interval_ms"].to_numpy().astype(np.int64)
-            lens = (end - start) // si + 1
-            mat = decode_dense_matrix(
-                pdf["mtid"].to_numpy(), list(pdf["model"]), lens
-            )
-            max_n = mat.shape[1]
-            idx = np.arange(max_n, dtype=np.int64)
-            mask = idx[None, :] < lens[:, None]
-            vals = mat[mask]
-            ts = (start[:, None] + si[:, None] * idx[None, :])[mask]
-            seg_id = np.repeat(np.arange(n_seg), lens)
-            wins = (ts // window_ms) * window_ms
-            new = np.empty(vals.size, dtype=bool)
-            new[0] = True
-            new[1:] = (seg_id[1:] != seg_id[:-1]) | (wins[1:] != wins[:-1])
-            starts = np.flatnonzero(new)
-            conv = pdf["conv_id"].to_numpy()
-            met = pdf["metric"].to_numpy()
-            counts = np.diff(np.concatenate((starts, [vals.size])))
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv[seg_id[starts]],
-                    "metric": met[seg_id[starts]],
-                    "window_ms": wins[starts],
-                    "cnt": counts.astype(np.int64),
-                    "vmin": np.minimum.reduceat(vals, starts),
-                    "vmax": np.maximum.reduceat(vals, starts),
-                    "vsum": np.add.reduceat(vals.astype(np.float64), starts),
-                }
-            )
+            mt = pdf["mtid"].to_numpy()
+            dense_m = (mt == MTID_RAW) | (mt == MTID_GORILLA)
+            ana_m = (mt == MTID_PMC) | (mt == MTID_SWING)
+            frames = []
+            if dense_m.any():
+                frames.append(
+                    _dense_partial_block(pdf[dense_m], window_ms)
+                )
+            if ana_m.any():
+                frames.append(
+                    _analytic_partial_block(pdf[ana_m], window_ms)
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cols = segments.select(
+        "conv_id", "metric", "start_ms", "end_ms", "interval_ms",
+        "mtid", "model", "p0", "p1",
+    )
+    return cols.mapInPandas(run, ROLLUP_SCHEMA)
+
+
+def _dense_partials(segments: DataFrame, window_ms: int) -> DataFrame:
+    """Vectorized decode path for Gorilla/raw segments only (kept for
+    callers that split branches themselves)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield _dense_partial_block(pdf, window_ms)
 
     dense = segments.where(F.col("mtid").isin(MTID_RAW, MTID_GORILLA)).select(
         "conv_id", "metric", "start_ms", "end_ms", "interval_ms", "mtid", "model"
@@ -185,9 +278,7 @@ def rollup_from_segments(
     window is exactly one bin and therefore covered by exactly one
     segment of its series — the groupBy is a semantic no-op and is
     skipped entirely: the finest tier is a map-only job."""
-    partials = _analytic_partials(segments, window_ms).unionByName(
-        _dense_partials(segments, window_ms)
-    )
+    partials = _fused_partials(segments, window_ms)
     if window_ms == interval_ms:
         return partials.withColumn("mean", F.col("vsum") / F.col("cnt"))
     return (

@@ -274,3 +274,62 @@ def test_duplicate_clusters_severs_lsh_lineage(spark, sf_small):
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     for marker in ("posexplode", "band_hash", "shingle"):
         assert marker not in plan, f"LSH lineage leaked into plan: {marker}"
+
+
+def test_fused_partials_match_branch_partials(spark):
+    """The round-7 fused rollup kernel (dense decode + NumPy closed
+    forms in one pass) must produce bit-identical partials to the
+    two-branch plan (Catalyst closed forms ∪ dense decode) — including
+    the SWING closed forms, which the driver fixtures never produce
+    (they contain only PMC/Gorilla segments)."""
+    import numpy as np
+
+    from modelardb_spark.models.gorilla import gorilla_compress
+    from modelardb_spark.operators.rollup import (
+        HOUR_MS,
+        _analytic_partials,
+        _dense_partials,
+        _fused_partials,
+    )
+
+    iv = 60_000
+    base = 1_704_672_000_000
+    rows = []
+    rng = np.random.default_rng(5)
+    for i in range(40):
+        s = base + i * 37 * iv
+        n = int(rng.integers(1, 200))
+        e = s + (n - 1) * iv
+        kind = i % 3
+        if kind == 0:  # PMC
+            rows.append(("c%d" % (i % 5), "m", s, e, iv, 2, b"\x00" * 4,
+                         float(rng.normal()), float("nan")))
+        elif kind == 1:  # SWING — slopes incl. 0, +, -
+            slope = [0.0, 1.7e-7, -2.3e-7][i % 3 if i % 9 else 0]
+            slope = float(rng.choice([0.0, 2.5e-7, -1.5e-7]))
+            rows.append(("c%d" % (i % 5), "m", s, e, iv, 3, b"\x00" * 4,
+                         slope, float(rng.normal() * 10)))
+        else:  # GORILLA
+            vals = rng.normal(size=n).astype(np.float32)
+            rows.append(("c%d" % (i % 5), "m", s, e, iv, 4,
+                         gorilla_compress(vals), float("nan"), float("nan")))
+    seg = spark.createDataFrame(
+        rows,
+        "conv_id string, metric string, start_ms long, end_ms long, "
+        "interval_ms long, mtid int, model binary, p0 double, p1 double",
+    )
+
+    def snap(df):
+        return sorted(
+            tuple(repr(x) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+
+    fused = snap(_fused_partials(seg, HOUR_MS))
+    branched = snap(
+        _analytic_partials(seg, HOUR_MS).unionByName(
+            _dense_partials(seg, HOUR_MS)
+        )
+    )
+    assert len(fused) > 0
+    assert fused == branched
