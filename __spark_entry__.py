@@ -418,7 +418,14 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir)
     _assert_oracle_dim(emb)
     queries_df = emb.where(F.col("vec_id") < 20)
-    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "neighbor_id")
+    # materialized once (k x 20 = 100 rows): the exact top-k feeds BOTH
+    # the per-method hits join and the total count — without this the
+    # whole brute-force ranking ran twice
+    exact = (
+        cosine_topk(emb, queries_df, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
     # query_pred restricts the QUERY role to the 20 measured vectors
     # inside the per-bucket ranking (identical rows for those queries,
     # ~1000x less in-bucket compare work than ranking the whole corpus
@@ -466,10 +473,16 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=_ND_THRESH, bits=_ND_BITS, tables=_ND_TABLES,
         seed=_LSH_SEED, dim=64,
     ).select("vec_a", "vec_b")
+    # ONE pass over the brute-force pair set: hits and total from the
+    # same left join (both sides emit each pair exactly once, so the
+    # marker count equals the old inner-join count) — the O(n^2)
+    # brute-force kernel used to be evaluated twice, once for the
+    # intersection and once for the denominator
     nd = (
-        nd_pairs.join(bf_pairs, ["vec_a", "vec_b"])
-        .agg(F.count("*").alias("hits"))
-        .crossJoin(F.broadcast(bf_pairs.agg(F.count("*").alias("total"))))
+        bf_pairs.join(
+            nd_pairs.withColumn("m", F.lit(1)), ["vec_a", "vec_b"], "left"
+        )
+        .agg(F.count("m").alias("hits"), F.count("*").alias("total"))
         .select(F.lit("lsh_near_dup").alias("method"), "hits", "total")
     )
 
@@ -885,12 +898,18 @@ def _q_dim_group_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modelardb_spark.operators.dimgroup import (
         dim_group_members,
         fit_segments_dim_grouped,
+        materialize_members,
         rollup_from_dim_group_segments,
     )
 
     s = _series(spark, sf_dir)
     dims = conversation_dimensions(s)
-    members = dim_group_members(s, dims, by="channel", max_group_size=8)
+    # materialized once: the registry is O(#series) metadata but its
+    # lineage is a full series scan that BOTH consumers (fit join,
+    # explode broadcast) would otherwise replay
+    members = materialize_members(
+        dim_group_members(s, dims, by="channel", max_group_size=8)
+    )
     g = fit_segments_dim_grouped(s, members, CFG)
     return _std_rollup(rollup_from_dim_group_segments(g, members, HOUR_MS))
 

@@ -75,6 +75,23 @@ def dim_group_members(
     return m.join(gsz, "gkey").select("gkey", "conv_id", "metric", "midx", "gsize")
 
 
+def materialize_members(members: DataFrame) -> DataFrame:
+    """Collapse the member-registry lineage to a local relation.
+
+    The registry is O(#series) metadata (five narrow columns), but its
+    LINEAGE is a full series scan + distinct + a window + a group-size
+    join — and every consumer re-evaluates it: the fit's equi-join AND
+    the explode-side broadcast each replay the whole scan. Collecting
+    the registry once and re-creating it as a local relation removes
+    the duplicate series scans from every dimension-group plan. Same
+    small-data posture as the broadcast `explode_dim_group_segments`
+    already applies (fine to ~tens of millions of series); beyond
+    that, skip this and pass broadcast_registry=False so the registry
+    stays distributed end to end."""
+    spark = members.sparkSession
+    return spark.createDataFrame(members.collect(), members.schema)
+
+
 def _expand_ranges(starts, lens):
     """Vectorized concatenation of integer ranges (see dedup)."""
     lens = np.asarray(lens, dtype=np.int64)

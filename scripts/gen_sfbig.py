@@ -71,11 +71,13 @@ def gen_documents(rng: np.random.Generator, n: int):
 
 
 def gen_embeddings(rng: np.random.Generator, n: int, dim: int = 64):
+    """ISOTROPIC unit vectors (the fixtures' regime per the ann_recall
+    docstring — no planted clusters; that is the adversarial case for
+    LSH) plus a sparse sprinkle of planted near-duplicates at roughly
+    the fixtures' observed pair density."""
     labels = rng.integers(0, 10, size=n).astype(np.int32)
-    centers = rng.normal(size=(10, dim))
-    v = centers[labels] * 0.6 + rng.normal(size=(n, dim)) * 0.4
-    # plant a few near-duplicate vectors like the fixtures do
-    n_near = max(1, n // 20)
+    v = rng.normal(size=(n, dim))
+    n_near = max(1, n // 100)
     src = rng.integers(0, n, size=n_near)
     dst = rng.integers(0, n, size=n_near)
     v[dst] = v[src] + rng.normal(size=(n_near, dim)) * 0.01

@@ -252,11 +252,13 @@ def test_avg_s_alone_dedupes_its_two_seg_agg_occurrences(spark, sf_small, tmp_pa
 
 
 def test_duplicate_clusters_severs_lsh_lineage(spark, sf_small):
-    """The connected-components iteration must NOT replay the LSH pair
-    pipeline per round: the edge frame is localCheckpointed up front,
-    so the final plan scans a materialized RDD — no shingle explode,
-    minhash aggregation, or band self-join may appear in it — and it
-    must contain no cartesian product."""
+    """The connected-components step must NOT replay the LSH pair
+    pipeline per consumer: the edge frame is localCheckpointed up
+    front, so the final plan sees either a LocalTableScan (the
+    size-gated driver fast path: labels arrive as a local relation)
+    or an ExistingRDD scan (the distributed loop) — no shingle
+    explode, minhash aggregation, or band self-join may appear in
+    it — and it must contain no cartesian product."""
     from modelardb_spark.operators.dedup import (
         duplicate_clusters,
         minhash_lsh_pairs,
@@ -264,16 +266,19 @@ def test_duplicate_clusters_severs_lsh_lineage(spark, sf_small):
     from modelardb_spark.operators.textstats import load_documents
 
     docs = load_documents(spark, sf_small)
-    out = duplicate_clusters(
-        minhash_lsh_pairs(docs, jaccard_threshold=0.35), docs
-    )
-    plan = _plan(out)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.35)
+    plan = _plan(duplicate_clusters(pairs, docs))
     assert "CartesianProduct" not in plan
-    # the checkpointed edge frame appears as an ExistingRDD scan; the
-    # pair pipeline's operators must be absent from the query's plan
-    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "LocalTableScan" in plan
     for marker in ("posexplode", "band_hash", "shingle"):
         assert marker not in plan, f"LSH lineage leaked into plan: {marker}"
+    # the distributed loop (past the size gate) must sever the lineage
+    # the same way via the checkpointed edge RDD
+    plan_d = _plan(duplicate_clusters(pairs, docs, max_local_edges=0))
+    assert "CartesianProduct" not in plan_d
+    assert "ExistingRDD" in plan_d or "Scan ExistingRDD" in plan_d
+    for marker in ("posexplode", "band_hash", "shingle"):
+        assert marker not in plan_d, f"LSH lineage leaked into plan: {marker}"
 
 
 def test_fused_partials_match_branch_partials(spark):

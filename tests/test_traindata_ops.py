@@ -533,6 +533,43 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert all(sizes[x] == pop[want[x]] for x in range(n))
 
 
+def test_duplicate_clusters_local_and_distributed_paths_agree(spark):
+    # the size-gated driver fast path (vectorized min-label /
+    # pointer-jump) must be row-identical to the distributed
+    # propagation loop it short-circuits — forced both ways via
+    # max_local_edges on a graph mixing chains, a star, cycles and
+    # singletons
+    from modelardb_spark.operators.dedup import duplicate_clusters
+
+    rng = np.random.RandomState(11)
+    n = 300
+    raw = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(180, 2))
+        if a != b
+    ]
+    raw += [(i, i + 1) for i in range(200, 230)]  # a path component
+    raw += [(250, i) for i in range(251, 280)]  # a star component
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw], "doc_a long, doc_b long"
+    ).distinct()
+    docs = spark.range(n + 20).withColumnRenamed("id", "doc_id")
+    local = sorted(
+        map(tuple, duplicate_clusters(pairs, docs).collect())
+    )
+    dist = sorted(
+        map(
+            tuple,
+            duplicate_clusters(
+                pairs, docs, max_local_edges=0
+            ).collect(),
+        )
+    )
+    assert local == dist
+    want = _brute_components(n + 20, raw)
+    assert {t[0]: t[1] for t in local} == want
+
+
 def test_duplicate_clusters_chain_worst_case_converges(spark):
     # a 64-node path is the worst diameter for label propagation;
     # pointer jumping must close it in O(log n) rounds (cap 25)
