@@ -153,9 +153,22 @@ def minhash_lsh_pairs(
     shuffle fewer bytes). `persist_intermediate=True` additionally
     materializes the signature/array/candidate frames once for
     multi-consumer callers (the curate job); the returned pairs frame
-    stays lazy either way."""
+    stays lazy either way.
+
+    Round 7: the shingle arrays and signatures are localCheckpointed
+    (computed exactly once). Without this the plan re-derived them
+    per consumer — the self-join's stream AND broadcast sides each
+    re-ran the full 16-minhash map (16 md5s per shingle per doc), and
+    the two verify joins each re-ran normalize+shingle: four full
+    passes over the corpus text for one logical pass of work. At any
+    scale, storing one (doc_id, shingles) array frame (disk-backed
+    past memory) is cheaper than hashing the corpus text four times."""
     arr = shingle_arrays(docs)
+    if not persist_intermediate:
+        arr = arr.localCheckpoint(eager=True)
     sig = _minhash_from_arrays(arr)
+    if not persist_intermediate:
+        sig = sig.localCheckpoint(eager=True)
     if persist_intermediate:
         sig = sig.persist()
         arr = arr.persist()
