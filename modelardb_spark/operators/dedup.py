@@ -260,32 +260,43 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     O(shingle incidences) — the documented small-data posture of this
     baseline; the scale path is `minhash_lsh_pairs`."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     spark = docs.sparkSession
     # ONE evaluation of the shingle pipeline: Arrow-transfer the per-doc
     # arrays (map-only lineage, no shuffle) and build the inverted
-    # index driver-side with factorize (a row-by-row .collect() of the
-    # grouped lists measured 40 s at the 50k-doc fixture; this is ~3 s)
-    pdf_all = shingle_arrays(docs).toPandas()
-    doc_ids = pdf_all["doc_id"].to_numpy().astype(np.int64)
-    sh_lens = np.array([len(x) for x in pdf_all["sh"]], dtype=np.int64)
-    all_sh = (
-        np.concatenate([np.asarray(x, dtype=object) for x in pdf_all["sh"]])
-        if len(pdf_all)
-        else np.empty(0, dtype=object)
+    # index driver-side entirely inside Arrow/NumPy — the list offsets
+    # ARE the per-doc lengths and `dictionary_encode` produces dense
+    # exact-string shingle ids without materializing a single Python
+    # string (a row-by-row .collect() measured 40 s at the 50k-doc
+    # fixture; the earlier toPandas + factorize path spent ~2 s just
+    # converting 2.6M strings to Python objects)
+    tbl = shingle_arrays(docs).toArrow()
+    doc_ids = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+    sh_col = tbl["sh"].combine_chunks()
+    sh_lens = np.diff(sh_col.offsets.to_numpy()).astype(np.int64)
+    codes = (
+        sh_col.flatten().dictionary_encode().indices.to_numpy().astype(np.int64)
+        if tbl.num_rows
+        else np.empty(0, dtype=np.int64)
     )
-    codes, _ = pd.factorize(all_sh)  # dense shingle ids, exact strings
-    codes = codes.astype(np.int64)
     doc_rep = np.repeat(doc_ids, sh_lens)
-    # CSR by shingle id: flat doc array + offsets
-    s_order = np.argsort(codes, kind="stable")
-    flat = doc_rep[s_order]
-    s_lens = np.bincount(codes, minlength=int(codes.max()) + 1 if codes.size else 0)
+    n_inc = codes.size
+    # CSR by shingle id with docs SORTED within each segment, so the
+    # SUFFIX after a doc's own slot is exactly "co-occurring docs
+    # greater than it" — each unordered pair is generated ONCE, from
+    # its smaller endpoint, halving the expansion stream and removing
+    # the a<b filter (the kernel is memory-bandwidth bound under a
+    # full complement of concurrent workers, so bytes are the cost)
+    s_lens = np.bincount(codes, minlength=int(codes.max()) + 1 if n_inc else 0)
     offs = np.zeros(s_lens.size + 1, dtype=np.int64)
     np.cumsum(s_lens, out=offs[1:])
-    # CSR by doc id (sorted): each doc's shingle ids
+    so = np.lexsort((doc_rep, codes)) if n_inc else np.empty(0, np.int64)
+    flat_docs = doc_rep[so]
+    # each incidence's rank within its (doc-sorted) shingle segment
+    rank_by_inc = np.empty(n_inc, dtype=np.int64)
+    rank_by_inc[so] = np.arange(n_inc, dtype=np.int64) - offs[codes[so]]
+    # CSR by doc id (sorted): each doc's incidences as suffix slices
     d_order = np.argsort(doc_rep, kind="stable")
     srow_sorted = codes[d_order]
     doc_sorted = doc_rep[d_order]
@@ -296,14 +307,22 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     dcounts = np.diff(np.append(dstart, doc_sorted.size))
     n_docs = int(udocs.size)
-    # prefix sum of each incidence's doc-list length (doc order): the
+    suf_start = offs[srow_sorted] + rank_by_inc[d_order] + 1
+    suf_len = offs[srow_sorted + 1] - suf_start
+    # dense doc INDEXES (int32 while they fit) instead of raw ids: the
+    # kernel then needs no searchsorted over the expansion at all, and
+    # the sort keys move half the bytes
+    fidx = np.searchsorted(udocs, flat_docs)
+    if n_docs <= np.iinfo(np.int32).max:
+        fidx = fidx.astype(np.int32)
+    # prefix sum of each incidence's suffix length (doc order): the
     # expansion cost of any doc range is one subtraction — used by the
     # task-side memory-budget chunking
-    ll_prefix = np.zeros(srow_sorted.size + 1, dtype=np.int64)
-    if srow_sorted.size:
-        np.cumsum(offs[srow_sorted + 1] - offs[srow_sorted], out=ll_prefix[1:])
+    ll_prefix = np.zeros(n_inc + 1, dtype=np.int64)
+    if n_inc:
+        np.cumsum(suf_len, out=ll_prefix[1:])
     bq = spark.sparkContext.broadcast(
-        (flat, offs, srow_sorted, udocs, dstart, dcounts, ll_prefix)
+        (fidx, suf_start, suf_len, udocs, dstart, dcounts, ll_prefix)
     )
     margin = threshold - 2e-6
     schema = StructType(
@@ -317,7 +336,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
     def count_pairs(batches):
-        flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b, llp_b = bq.value
+        fidx_b, sufs_b, sufl_b, udocs_b, dstart_b, dcounts_b, llp_b = bq.value
         # bound the per-iteration pair expansion (sum over the chunk's
         # shingles of their doc-list lengths) so task memory stays flat
         # no matter how large the Arrow batch or the corpus gets
@@ -349,11 +368,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
                 base = csum[cuts[-1] - 1]
             yield from _count_chunks(
                 all_ids, apos, cuts,
-                flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b,
+                fidx_b, sufs_b, sufl_b, udocs_b, dstart_b, dcounts_b,
             )
 
     def _count_chunks(
-        all_ids, apos, cuts, flat_b, offs_b, srow_b, udocs_b, dstart_b, dcounts_b
+        all_ids, apos, cuts, fidx_b, sufs_b, sufl_b, udocs_b, dstart_b, dcounts_b
     ):
         import pandas as pd
 
@@ -361,29 +380,39 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
             if c0 == c1:
                 continue
             a_ids, pos = all_ids[c0:c1], apos[c0:c1]
+            m = a_ids.size
             ca = dcounts_b[pos]
-            # all (a, shingle-row) incidences of the batch ...
-            srows = srow_b[_expand_ranges(dstart_b[pos], ca)]
-            owner = np.repeat(np.arange(a_ids.size, dtype=np.int64), ca)
-            # ... expanded to every co-occurring doc b
-            ll = offs_b[srows + 1] - offs_b[srows]
-            b = flat_b[_expand_ranges(offs_b[srows], ll)]
-            owner2 = np.repeat(owner, ll)
-            bidx = np.searchsorted(udocs_b, b)
-            uk, cnt = np.unique(owner2 * n_docs + bidx, return_counts=True)
-            doc_a = a_ids[uk // n_docs]
-            doc_b = udocs_b[uk % n_docs]
-            keep = doc_a < doc_b
-            doc_a, doc_b, cnt = doc_a[keep], doc_b[keep], cnt[keep]
-            na = dcounts_b[np.searchsorted(udocs_b, doc_a)]
-            nb = dcounts_b[np.searchsorted(udocs_b, doc_b)]
+            # all (a, shingle) incidences of the chunk ...
+            inc = _expand_ranges(dstart_b[pos], ca)
+            ss, sl = sufs_b[inc], sufl_b[inc]
+            # ... expanded to every co-occurring doc AFTER a in its
+            # segment: each unordered pair appears exactly once, its
+            # multiplicity = the shared-shingle count, and b's value
+            # is already a dense doc index (no searchsorted here)
+            b = fidx_b[_expand_ranges(ss, sl)]
+            owner2 = np.repeat(
+                np.repeat(np.arange(m, dtype=np.int64), ca), sl
+            )
+            if m * n_docs <= np.iinfo(np.int32).max:
+                key = owner2.astype(np.int32) * np.int32(n_docs) + b.astype(
+                    np.int32
+                )
+            else:
+                key = owner2 * n_docs + b.astype(np.int64)
+            uk, cnt = np.unique(key, return_counts=True)
+            ai = uk // n_docs
+            bpos = uk % n_docs
+            doc_a = a_ids[ai]
+            doc_b = udocs_b[bpos]
+            na = ca[ai]
+            nb = dcounts_b[bpos]
             jac = cnt / (na + nb - cnt)
             near = jac >= margin
             yield pd.DataFrame(
                 {
                     "doc_a": doc_a[near],
                     "doc_b": doc_b[near],
-                    "n_inter": cnt[near],
+                    "n_inter": cnt[near].astype(np.int64),
                     "na": na[near],
                     "nb": nb[near],
                 }
