@@ -271,9 +271,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # string (a row-by-row .collect() measured 40 s at the 50k-doc
     # fixture; the earlier toPandas + factorize path spent ~2 s just
     # converting 2.6M strings to Python objects)
+    import pyarrow as pa
+
     tbl = shingle_arrays(docs).toArrow()
     doc_ids = tbl["doc_id"].combine_chunks().to_numpy().astype(np.int64)
-    sh_col = tbl["sh"].combine_chunks()
+    # large offsets BEFORE combining: a corpus whose flattened shingle
+    # text exceeds 2 GB arrives as multiple chunks that int32 offsets
+    # cannot concatenate (ArrowInvalid offset overflow)
+    sh_col = (
+        tbl["sh"]
+        .cast(pa.large_list(pa.large_string()))
+        .combine_chunks()
+    )
     sh_lens = np.diff(sh_col.offsets.to_numpy()).astype(np.int64)
     codes = (
         sh_col.flatten().dictionary_encode().indices.to_numpy().astype(np.int64)
@@ -315,12 +324,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     fidx = np.searchsorted(udocs, flat_docs)
     if n_docs <= np.iinfo(np.int32).max:
         fidx = fidx.astype(np.int32)
-    # prefix sum of each incidence's suffix length (doc order): the
-    # expansion cost of any doc range is one subtraction — used by the
-    # task-side memory-budget chunking
+    # prefix sum of each incidence's expansion COST = suffix length
+    # + 1 (doc order): the +1 keeps the chunker bounding the incidence
+    # arrays themselves too — suffix lengths alone can be all zero
+    # (segment-last incidences) and would let one chunk swallow an
+    # unbounded number of incidences
     ll_prefix = np.zeros(n_inc + 1, dtype=np.int64)
     if n_inc:
-        np.cumsum(suf_len, out=ll_prefix[1:])
+        np.cumsum(suf_len + 1, out=ll_prefix[1:])
     bq = spark.sparkContext.broadcast(
         (fidx, suf_start, suf_len, udocs, dstart, dcounts, ll_prefix)
     )
@@ -570,9 +581,12 @@ def duplicate_clusters(
     checkpointed frame before anything is collected — the component
     labels are computed on the driver with one vectorized NumPy
     min-label/pointer-jump pass instead of the iterative Spark loop:
-    the graph costs ~16 B/edge (80 MB at the 5M-edge default cap,
-    Arrow transfer), while each Spark round costs two joins + a
-    groupBy + a checkpoint + a convergence action. The distributed
+    the symmetrized frame holds both directions, so the collect is
+    ~32 B/edge of raw data (320 MB at the 5M-edge default cap, Arrow
+    transfer, plus transient conversion copies — sized for the 24g
+    driver this engine configures; shrink the cap for small drivers),
+    while each Spark round costs two joins + a groupBy + a checkpoint
+    + a convergence action. The distributed
     loop below is UNCHANGED and takes over past the cap, so the
     100 TB posture is identical — this is the standard small-graph
     fast path of connected-components implementations, gated by an

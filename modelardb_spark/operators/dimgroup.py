@@ -87,9 +87,11 @@ def materialize_members(members: DataFrame) -> DataFrame:
     small-data posture as the broadcast `explode_dim_group_segments`
     already applies (fine to ~tens of millions of series); beyond
     that, skip this and pass broadcast_registry=False so the registry
-    stays distributed end to end."""
+    stays distributed end to end. The round trip is Arrow both ways
+    (toPandas + createDataFrame-from-pandas) — a collect() of Row
+    objects re-pickles per row and cannot sustain that scale."""
     spark = members.sparkSession
-    return spark.createDataFrame(members.collect(), members.schema)
+    return spark.createDataFrame(members.toPandas(), schema=members.schema)
 
 
 def _expand_ranges(starts, lens):
